@@ -1,0 +1,99 @@
+"""LIO iterated update on a synthetic planar scene: the filter must recover a
+perturbed pose against the map (the end-to-end correctness test for the
+kNN -> plane fit -> Jacobian -> solve chain)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from fastlivo_tpu.maps import voxel_map as vm
+from fastlivo_tpu.models import lio
+from fastlivo_tpu.state import NavState
+
+MAP_CFG = vm.VoxelMapConfig(resolution=0.5, capacity=1 << 15, max_points=32, nearby_type=18)
+LIO_CFG = lio.LioConfig(max_iteration=10)
+
+jinsert = jax.jit(vm.insert, static_argnames="cfg")
+jgate = jax.jit(lio.map_insert_gate, static_argnames="filter_size_map")
+
+
+def make_room(rng, n=4000):
+    """Points on the 5 inner faces of a 10m box (floor + 4 walls).
+
+    The floor sits at z = -1.3, not 0: the A.x = -1 plane parameterization
+    (same as the reference's esti_plane) cannot represent planes through the
+    world origin, so an origin-coincident floor is a synthetic degeneracy
+    real scenes don't have.
+    """
+    pts = []
+    per = n // 5
+    u = rng.uniform(-5, 5, size=(per, 2))
+    pts.append(np.stack([u[:, 0], u[:, 1], np.full(per, -1.3)], axis=1))  # floor
+    for (axis, val) in ((0, -5), (0, 5), (1, -5), (1, 5)):
+        u = rng.uniform(-5, 5, size=(per, 2))
+        w = np.zeros((per, 3))
+        w[:, axis] = val
+        w[:, (axis + 1) % 2] = u[:, 0]
+        w[:, 2] = u[:, 1] + 5
+        pts.append(w)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_lio_recovers_pose(rng):
+    world_pts = make_room(rng)
+    m = vm.make_map(MAP_CFG)
+    m = jinsert(m, jnp.asarray(world_pts), jnp.ones(len(world_pts), bool), MAP_CFG)
+
+    # True sensor pose; scan = world points observed from the true pose.
+    rot_true = Rotation.from_rotvec([0.02, -0.01, 0.3]).as_matrix().astype(np.float32)
+    pos_true = np.array([0.5, -0.3, 1.2], np.float32)
+    scan_world = make_room(np.random.default_rng(7), n=2000)
+    scan_body = (scan_world - pos_true) @ rot_true  # R^T (p - t)
+
+    # Prior = perturbed pose.
+    rot0 = rot_true @ Rotation.from_rotvec([0.01, 0.015, -0.02]).as_matrix()
+    pos0 = pos_true + np.array([0.05, -0.04, 0.03], np.float32)
+    prior = NavState.identity()._replace(
+        rot=jnp.asarray(rot0, jnp.float32), pos=jnp.asarray(pos0)
+    )
+
+    rot_il = jnp.eye(3, dtype=jnp.float32)
+    t_il = jnp.zeros(3, jnp.float32)
+
+    post, info, _ = jax.jit(
+        lio.lio_update, static_argnames=("map_cfg", "cfg")
+    )(
+        prior,
+        m,
+        jnp.asarray(scan_body),
+        jnp.ones(len(scan_body), bool),
+        rot_il,
+        t_il,
+        MAP_CFG,
+        LIO_CFG,
+    )
+
+    assert int(info.n_effective) > 1000
+    rot_err = Rotation.from_matrix(
+        np.asarray(post.rot).astype(np.float64) @ rot_true.T
+    ).magnitude()
+    pos_err = np.linalg.norm(np.asarray(post.pos) - pos_true)
+    assert rot_err < 0.005, f"rotation error {rot_err}"
+    assert pos_err < 0.02, f"position error {pos_err}"
+    # Posterior covariance must have shrunk along observed directions.
+    assert float(jnp.trace(post.cov[:6, :6])) < float(jnp.trace(prior.cov[:6, :6]))
+
+
+def test_map_insert_gate(rng):
+    pts = jnp.asarray(rng.uniform(-2, 2, size=(64, 3)).astype(np.float32))
+    # No neighbors -> always add.
+    nbr = jnp.zeros((64, 5, 3), jnp.float32)
+    nv = jnp.zeros((64, 5), bool)
+    add = jgate(pts, jnp.ones(64, bool), nbr, nv, 0.3)
+    assert bool(jnp.all(add))
+    # Neighbor exactly at the voxel center -> do not add.
+    center = (jnp.floor(pts / 0.3) + 0.5) * 0.3
+    nbr_close = jnp.tile(center[:, None, :], (1, 5, 1))
+    add2 = jgate(pts, jnp.ones(64, bool), nbr_close, jnp.ones((64, 5), bool), 0.3)
+    assert not bool(jnp.any(add2))
