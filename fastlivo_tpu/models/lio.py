@@ -81,6 +81,7 @@ def _innovation(
     rot_il: jnp.ndarray,
     t_il: jnp.ndarray,
     cfg: LioConfig,
+    axis_name: str | None = None,
 ):
     """Assemble H^T R^-1 H (6x6) and H^T R^-1 (-r) (6,) over the scan.
 
@@ -120,6 +121,16 @@ def _innovation(
 
     n_eff = jnp.sum(valid.astype(jnp.int32))
     res_sum = jnp.sum(jnp.where(valid, jnp.abs(pd2), 0.0))
+
+    # Multi-device: the innovation is sum-decomposable over points
+    # (SURVEY.md section 2 "Distributed communication backend") — one psum
+    # over the point-sharding axis makes every device hold the global
+    # innovation, after which the 18x18 solve is replicated.
+    if axis_name is not None:
+        hth = jax.lax.psum(hth, axis_name)
+        hty = jax.lax.psum(hty, axis_name)
+        n_eff = jax.lax.psum(n_eff, axis_name)
+        res_sum = jax.lax.psum(res_sum, axis_name)
     return hth, hty, n_eff, res_sum
 
 
@@ -142,6 +153,7 @@ def lio_update(
     cfg: LioConfig,
     extra_hth: jnp.ndarray | None = None,
     extra_hty: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> Tuple[NavState, LioInfo, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One full iterated point-to-plane ESKF update.
 
@@ -199,7 +211,8 @@ def lio_update(
         )
 
         hth6, hty6, n_eff, res_sum = _innovation(
-            c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il, cfg
+            c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il,
+            cfg, axis_name,
         )
         hth, hty = _embed18(hth6, hty6, dtype)
         if extra_hth is not None:

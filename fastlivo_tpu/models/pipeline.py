@@ -1,0 +1,258 @@
+"""The fused per-scan device program + host orchestration.
+
+Capability parity with the reference's `LaserMapping::Run` LIO path
+(reference: src/laser_mapping.cpp:37-284): one measurement group in, one
+posterior state + updated map out. TPU-first: the entire chain
+
+    IMU propagate -> undistort -> voxel downsample -> iterated ESKF
+    -> insert gate -> map scatter
+
+is ONE jitted program per scan (`lio_scan_step`) — no host round-trips
+between stages, donated map buffers, and an `axis_name` switch that turns
+the same program into its multi-device SPMD form (points sharded,
+innovations psummed; see `fastlivo_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastlivo_tpu.maps import voxel_map as vm
+from fastlivo_tpu.models import imu as imu_mod
+from fastlivo_tpu.models import lio
+from fastlivo_tpu.ops import voxelize
+from fastlivo_tpu.state import NavState
+from fastlivo_tpu.utils.config import FastLivoConfig
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """All static shapes/params of the per-scan program (hashable)."""
+
+    map_cfg: vm.VoxelMapConfig = vm.VoxelMapConfig()
+    lio_cfg: lio.LioConfig = lio.LioConfig()
+    ds_leaf: float = 0.15  # filter_size_surf
+    ds_capacity: int = 16384  # static downsampled-scan budget
+    imu_window: int = 128  # static IMU samples per group
+    cov_gyr: float = 0.01
+    cov_acc: float = 0.01
+    cov_bias_gyr: float = 1e-4
+    cov_bias_acc: float = 1e-4
+
+    @staticmethod
+    def from_config(cfg: FastLivoConfig) -> "StepConfig":
+        return StepConfig(
+            map_cfg=vm.VoxelMapConfig(
+                resolution=cfg.map.resolution,
+                capacity=cfg.map.capacity,
+                max_points=cfg.map.max_points_per_voxel,
+                nearby_type=cfg.map.nearby_type,
+                probe_depth=cfg.map.probe_depth,
+            ),
+            lio_cfg=lio.LioConfig(
+                max_iteration=cfg.lio.max_iteration,
+                num_match_points=cfg.map.num_match_points,
+                laser_point_cov=cfg.lio.laser_point_cov,
+                plane_threshold=cfg.lio.plane_threshold,
+                residual_limit=cfg.lio.residual_limit,
+                converge_rot_deg=cfg.lio.converge_rot_deg,
+                converge_trans_cm=cfg.lio.converge_trans_cm,
+                filter_size_map=cfg.lio.filter_size_map,
+            ),
+            ds_leaf=cfg.lio.filter_size_surf,
+            ds_capacity=cfg.lio.max_points,
+            imu_window=cfg.imu.imu_int_frame,
+            cov_gyr=cfg.imu.cov_gyr,
+            cov_acc=cfg.imu.cov_acc,
+            cov_bias_gyr=cfg.imu.cov_bias_gyr,
+            cov_bias_acc=cfg.imu.cov_bias_acc,
+        )
+
+
+class ScanInput(NamedTuple):
+    """One LiDAR measurement group (fixed shapes, padded)."""
+
+    pts: jnp.ndarray  # (N, 3) raw points, LiDAR frame
+    t_offs: jnp.ndarray  # (N,) seconds relative to window start
+    mask: jnp.ndarray  # (N,) validity
+    imu: imu_mod.ImuWindow  # fixed-size IMU window
+    t_end: jnp.ndarray  # () scan-end time relative to window start
+    acc_scale: jnp.ndarray  # () G / |mean_acc| normalization
+
+
+def lio_scan_step(
+    state: NavState,
+    lidar_map: vm.VoxelHashMap,
+    scan: ScanInput,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    cfg: StepConfig,
+    extra_hth: Optional[jnp.ndarray] = None,
+    extra_hty: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[NavState, vm.VoxelHashMap, lio.LioInfo]:
+    """One full scan-end measurement update (the flagship device program).
+
+    Under shard_map (axis_name set): scan.pts/t_offs/mask arrive sharded on
+    the points axis, state + map replicated. Undistortion and the residual
+    chain run shard-local; the downsample runs on the all-gathered
+    undistorted scan so voxel dedup is global (same semantics as the
+    single-chip path), then each device takes its slice; map updates are
+    computed from the all-gathered gated points so replicas stay identical.
+    """
+    state_prop, poses = imu_mod.propagate(
+        state,
+        scan.imu,
+        scan.t_end,
+        scan.acc_scale,
+        cfg.cov_gyr,
+        cfg.cov_acc,
+        cfg.cov_bias_gyr,
+        cfg.cov_bias_acc,
+    )
+
+    pts_und = imu_mod.undistort(
+        scan.pts, scan.t_offs, scan.mask, poses, state_prop, rot_il, t_il
+    )
+
+    if axis_name is None:
+        ds_pts, ds_mask = voxelize.voxel_downsample(
+            pts_und, scan.mask, cfg.ds_leaf, cfg.ds_capacity
+        )
+    else:
+        # Global voxel dedup: gather the (small) undistorted scan, downsample
+        # identically everywhere, keep this device's slice of the output.
+        all_pts = jax.lax.all_gather(pts_und, axis_name, tiled=True)
+        all_mask = jax.lax.all_gather(scan.mask, axis_name, tiled=True)
+        ds_all, ds_all_mask = voxelize.voxel_downsample(
+            all_pts, all_mask, cfg.ds_leaf, cfg.ds_capacity
+        )
+        ndev = jax.lax.axis_size(axis_name)
+        shard = cfg.ds_capacity // ndev
+        idx = jax.lax.axis_index(axis_name)
+        ds_pts = jax.lax.dynamic_slice_in_dim(ds_all, idx * shard, shard)
+        ds_mask = jax.lax.dynamic_slice_in_dim(ds_all_mask, idx * shard, shard)
+
+    posterior, info, (nbr, nv) = lio.lio_update(
+        state_prop,
+        lidar_map,
+        ds_pts,
+        ds_mask,
+        rot_il,
+        t_il,
+        cfg.map_cfg,
+        cfg.lio_cfg,
+        extra_hth=extra_hth,
+        extra_hty=extra_hty,
+        axis_name=axis_name,
+    )
+
+    _, p_w = lio.transform_to_world(
+        ds_pts, posterior.rot, posterior.pos, rot_il, t_il
+    )
+    add = lio.map_insert_gate(p_w, ds_mask, nbr, nv, cfg.lio_cfg.filter_size_map)
+
+    if axis_name is None:
+        lidar_map = vm.insert(lidar_map, p_w, add, cfg.map_cfg)
+    else:
+        # Keep map replicas identical: insert the full gated scan everywhere.
+        p_w_all = jax.lax.all_gather(p_w, axis_name, tiled=True)
+        add_all = jax.lax.all_gather(add, axis_name, tiled=True)
+        lidar_map = vm.insert(lidar_map, p_w_all, add_all, cfg.map_cfg)
+
+    return posterior, lidar_map, info
+
+
+def bootstrap_map(
+    lidar_map: vm.VoxelHashMap,
+    scan: ScanInput,
+    state: NavState,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    cfg: StepConfig,
+) -> vm.VoxelHashMap:
+    """First-scan map initialization (reference: laser_mapping.cpp:145-152
+    `flg_first_scan` branch): downsample and insert at the current pose, no
+    filter update."""
+    ds_pts, ds_mask = voxelize.voxel_downsample(
+        scan.pts, scan.mask, cfg.ds_leaf, cfg.ds_capacity
+    )
+    _, p_w = lio.transform_to_world(ds_pts, state.rot, state.pos, rot_il, t_il)
+    return vm.insert(lidar_map, p_w, ds_mask, cfg.map_cfg)
+
+
+class LivoPipeline:
+    """Host-side orchestrator (thin): owns the device state, compiles the
+    fused step once, feeds it measurement groups produced by the sync layer.
+
+    This is the class-based `LaserMapping` equivalent minus ROS: sensors
+    arrive through `fastlivo_tpu.io` as replayable logs instead of
+    callbacks, and everything per-scan happens in one device program.
+    """
+
+    def __init__(self, cfg: FastLivoConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.step_cfg = StepConfig.from_config(cfg)
+        self.dtype = dtype
+
+        rot = np.asarray(cfg.extrinsics.extrinsic_r, np.float32).reshape(3, 3)
+        self.rot_il = jnp.asarray(rot, dtype)
+        self.t_il = jnp.asarray(cfg.extrinsics.extrinsic_t, dtype)
+
+        self.state = NavState.identity(dtype)
+        self.map = vm.make_map(self.step_cfg.map_cfg, dtype)
+        self.initializer = imu_mod.StaticInitializer(
+            init_count=cfg.imu.init_count,
+            zero_velocity_thresh=cfg.imu.zero_velocity_thresh,
+        )
+        self.first_scan = True
+        self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
+
+        self._step = jax.jit(
+            lio_scan_step,
+            static_argnames=("cfg", "axis_name"),
+            donate_argnames=("lidar_map",),
+        )
+        self._bootstrap = jax.jit(
+            bootstrap_map, static_argnames=("cfg",), donate_argnames=("lidar_map",)
+        )
+
+    def process_scan(self, scan: ScanInput, t_abs: float):
+        """Feed one scan-end measurement group. Returns LioInfo or None
+        (during static initialization)."""
+        if not self.initializer.done:
+            ok = self.initializer.push(
+                np.asarray(scan.imu.gyr)[np.asarray(scan.imu.mask)],
+                np.asarray(scan.imu.acc)[np.asarray(scan.imu.mask)],
+            )
+            if ok:
+                self.state = self.initializer.initial_state(self.dtype)
+            return None
+
+        if self.first_scan:
+            self.map = self._bootstrap(
+                self.map, scan, self.state, self.rot_il, self.t_il, self.step_cfg
+            )
+            self.first_scan = False
+            return None
+
+        self.state, self.map, info = self._step(
+            self.state, self.map, scan, self.rot_il, self.t_il, self.step_cfg
+        )
+        self._record(t_abs)
+        return info
+
+    def _record(self, t_abs: float):
+        from fastlivo_tpu.ops import so3
+
+        q = np.asarray(so3.rot_to_quat(self.state.rot))
+        self.trajectory.append((t_abs, np.asarray(self.state.pos), q))
+
+    @property
+    def acc_scale(self) -> float:
+        return self.initializer.acc_scale if self.initializer.done else 1.0

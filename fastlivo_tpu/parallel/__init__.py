@@ -1,0 +1,6 @@
+from fastlivo_tpu.parallel.sharded import (  # noqa: F401
+    POINTS_AXIS,
+    make_mesh,
+    make_sharded_lio_step,
+    shard_scan,
+)

@@ -1,0 +1,97 @@
+"""Golden end-to-end regression: full LIO pipeline (sync -> window builder
+-> fused device step) on a synthetic motion-distorted sequence must track
+ground truth. This is the capability the reference only verified manually
+via rosbag replay (SURVEY.md section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastlivo_tpu.io import synthetic
+from fastlivo_tpu.io.sync import MeasurementSynchronizer, WindowBuilder
+from fastlivo_tpu.models.pipeline import LivoPipeline
+from fastlivo_tpu.utils.config import FastLivoConfig
+from fastlivo_tpu.utils.metrics import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate(
+        duration=4.0, imu_rate=100.0, scan_rate=10.0, pts_per_scan=6000, seed=1
+    )
+
+
+def run_pipeline(seq, cfg):
+    pipe = LivoPipeline(cfg)
+    sync = MeasurementSynchronizer(img_enabled=False)
+    builder = WindowBuilder(
+        n_pts=8192, imu_window=cfg.imu.imu_int_frame
+    )
+
+    # Static init: feed a stationary IMU prefix (synthetic starts moving at
+    # t=0, so initialize directly from known rest statistics instead).
+    pipe.initializer.done = True
+    pipe.initializer.mean_acc = np.array([0.0, 0.0, 9.81])
+    pipe.initializer.mean_gyr = np.zeros(3)
+    pipe.state = pipe.initializer.initial_state()
+    pipe.state = pipe.state._replace(
+        vel=jnp.asarray(seq.imu[0].acc * 0.0, jnp.float32)
+    )
+
+    imu_iter = iter(seq.imu)
+    pending_imu = next(imu_iter)
+    est = []
+    for scan in seq.scans:
+        sync.push_lidar(scan)
+        while pending_imu is not None and pending_imu.stamp < scan.end_time + 0.05:
+            sync.push_imu(pending_imu)
+            pending_imu = next(imu_iter, None)
+        group = sync.next_group()
+        if group is None:
+            continue
+        scan_input, t_abs = builder.build(group)
+        scan_input = scan_input._replace(acc_scale=jnp.float32(pipe.acc_scale))
+        info = pipe.process_scan(scan_input, t_abs)
+        if info is not None:
+            est.append((t_abs, np.asarray(pipe.state.pos)))
+    return pipe, est
+
+
+def test_lio_pipeline_tracks_ground_truth(seq):
+    cfg = FastLivoConfig()
+    cfg.lio.max_points = 8192
+    cfg.map.capacity = 1 << 16
+    cfg.imu.imu_int_frame = 32
+    pipe, est = run_pipeline(seq, cfg)
+
+    assert len(est) >= 30, f"only {len(est)} updates ran"
+    # Match ground truth at the estimated stamps.
+    est_t = np.array([t for t, _ in est])
+    est_p = np.array([p for _, p in est])
+    gt_p = np.stack(
+        [seq.gt_pos[np.argmin(np.abs(seq.gt_stamps - t))] for t in est_t]
+    )
+    err = ate_rmse(est_p, gt_p)
+    assert err < 0.05, f"ATE {err * 100:.1f} cm"
+
+
+def test_trajectory_export_roundtrip(tmp_path, seq):
+    from fastlivo_tpu.io import export
+
+    cfg = FastLivoConfig()
+    cfg.lio.max_points = 8192
+    cfg.map.capacity = 1 << 16
+    cfg.imu.imu_int_frame = 32
+    pipe, est = run_pipeline(seq, cfg)
+
+    path = str(tmp_path / "tum.txt")
+    export.write_tum(path, pipe.trajectory)
+    stamps, pos, quat = export.read_tum(path)
+    assert len(stamps) == len(pipe.trajectory)
+    np.testing.assert_allclose(pos[-1], pipe.trajectory[-1][1], atol=1e-5)
+
+    cloud = export.map_to_cloud(pipe.map)
+    assert len(cloud) > 5000
+    pcd = str(tmp_path / "map.pcd")
+    export.write_pcd(pcd, cloud)
+    assert (tmp_path / "map.pcd").stat().st_size > 1000
