@@ -1,0 +1,83 @@
+"""Analytic textured-room renderer for VIO tests and benchmarks.
+
+The reference is validated only against recorded camera rosbags; this
+framework instead ships a ray-cast renderer of the same synthetic room the
+LiDAR simulator samples (io/synthetic.py): every pixel's ray is intersected
+with the room planes and shaded by a smooth multi-frequency procedural
+texture of the world hit point — photometrically consistent across
+viewpoints by construction, which is exactly the property the direct
+photometric update needs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from fastlivo_tpu.ops.camera import Pinhole
+
+
+def texture(p: jnp.ndarray) -> jnp.ndarray:
+    """Smooth multi-scale intensity field over world points (..., 3),
+    in [~30, ~225] with rich gradients at several scales."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    v = (
+        0.45 * jnp.sin(2.1 * x + 0.7) * jnp.cos(1.7 * y - 0.3)
+        + 0.30 * jnp.sin(5.3 * y + 1.1 * z)
+        + 0.25 * jnp.cos(8.9 * x - 4.1 * z + 0.5)
+        + 0.20 * jnp.sin(17.0 * (x + y) * 0.5)
+        + 0.15 * jnp.cos(29.0 * (y - z) * 0.5 + 1.3)
+    )
+    return 128.0 + 95.0 * v / 1.35
+
+
+def render_room(
+    cam: Pinhole,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    half: float = 10.0,
+    floor_z: float = -1.5,
+) -> jnp.ndarray:
+    """Render an (H, W) float32 image of the room from a world->camera pose."""
+    uu, vv = jnp.meshgrid(
+        jnp.arange(cam.width, dtype=jnp.float32) + 0.5,
+        jnp.arange(cam.height, dtype=jnp.float32) + 0.5,
+        indexing="xy",
+    )
+    uv = jnp.stack([uu, vv], axis=-1).reshape(-1, 2)
+    f = cam.unproject(uv)  # camera-frame bearings
+    d = f @ rcw  # world direction = rcw^T f
+    o = -rcw.T @ pcw  # camera center in world
+
+    big = jnp.float32(1e9)
+
+    def plane_hit(axis: int, value: float, lo_ok):
+        dn = d[:, axis]
+        t = (value - o[axis]) / jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
+        p = o[None, :] + t[:, None] * d
+        others = [i for i in range(3) if i != axis]
+        inside = (
+            (jnp.abs(p[:, others[0]]) <= half + 1e-3)
+            & (p[:, 2] >= floor_z - 1e-3)
+            & (p[:, 2] <= 12.0)
+        )
+        if axis != 2:
+            inside = inside & (jnp.abs(p[:, others[1] if others[1] != 2 else others[0]]) <= half + 1e-3)
+        ok = (t > 1e-3) & inside
+        return jnp.where(ok, t, big), p
+
+    ts, ps = [], []
+    for axis, value in ((2, floor_z), (0, -half), (0, half), (1, -half), (1, half)):
+        t, p = plane_hit(axis, value, None)
+        ts.append(t)
+        ps.append(p)
+    tstack = jnp.stack(ts, axis=0)  # (5, Npix)
+    pstack = jnp.stack(ps, axis=0)  # (5, Npix, 3)
+    best = jnp.argmin(tstack, axis=0)
+    hit = jnp.take_along_axis(
+        pstack, best[None, :, None].repeat(3, axis=2), axis=0
+    )[0]
+    tmin = jnp.min(tstack, axis=0)
+    img = jnp.where(tmin < big, texture(hit), 0.0)
+    return img.reshape(cam.height, cam.width).astype(jnp.float32)

@@ -1,0 +1,584 @@
+"""VIO: direct sparse photometric iterated error-state Kalman update.
+
+Capability parity with the reference's `LidarSelector`
+(reference: src/lidar_selection.cpp — candidate selection `addFromSparseMap`
+:332, new map points `addSparseMap` :140, the coarse-to-fine iterated EKF
+`ComputeJ`/`UpdateState` :964/:748, observation maintenance
+`addObservation` :905), re-designed TPU-first as three batched phases:
+
+A. **select** — project the whole visual point table (no voxel-set walk),
+   gate by frame border, scan-depth continuity (the depth image doubles as
+   the reference's sub_feat_map visibility test), per-40px-cell nearest
+   point (scatter-min), closest-view reference observation, affine warp of
+   the stored reference patch, and the photometric outlier gate. Output:
+   fixed-size candidate arrays (one slot per grid cell).
+B. **update** — for pyramid level 2 -> 0, a `lax.while_loop` iterated EKF
+   over (candidate x 8x8 pixel) residuals: fused intensity+gradient
+   gather, chain-rule 1x6 Jacobians, einsum innovation, MAP step with
+   prior pull, error-decrease acceptance with rollback (exact reference
+   semantics).
+C. **maintain** — Shi-Tomasi-scored new points per empty-ish cell and
+   ring-buffered observation appends, all scatters.
+
+Documented deviations from the reference (each improves boundedness or
+batching without changing capability):
+- visibility gating via the scan depth image instead of the feat_map voxel
+  intersection;
+- affine warp samples the per-observation stored patch pyramid instead of
+  retained full reference images (bounded memory);
+- the outlier gate compares at the candidate's search-level stride (the
+  reference compares a warped stride-2^s patch against a stride-1 patch);
+- observation rings replace furthest-view eviction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastlivo_tpu.maps import visual_map as vmap_mod
+from fastlivo_tpu.ops import image as img_ops
+from fastlivo_tpu.ops import linalg, so3
+from fastlivo_tpu.ops.camera import Pinhole
+from fastlivo_tpu.state import DIM_STATE, NavState, boxminus, boxplus
+
+_R2D = 57.29577951308232
+
+
+@dataclass(frozen=True)
+class VioConfig:
+    grid_size: int = 40
+    patch_size: int = 8
+    max_iterations: int = 10
+    outlier_threshold: float = 300.0
+    img_point_cov: float = 100.0
+    depth_continuous_thresh: float = 1.5
+    converge_rot_deg: float = 0.001
+    converge_trans_cm: float = 0.001
+    ncc_en: bool = False
+    ncc_thre: float = 0.0
+    levels: int = 3  # coarse-to-fine pyramid levels (2 -> 0)
+    border_px: int = 40  # (patch_size_half + 1) * 8 as in the reference
+
+    def grid_dims(self, cam: Pinhole) -> Tuple[int, int]:
+        return (
+            (cam.width + self.grid_size - 1) // self.grid_size,
+            (cam.height + self.grid_size - 1) // self.grid_size,
+        )
+
+
+class VioInfo(NamedTuple):
+    n_selected: jnp.ndarray  # () candidates entering the update
+    error_before: jnp.ndarray
+    error_after: jnp.ndarray
+    n_new_points: jnp.ndarray
+    n_new_obs: jnp.ndarray
+
+
+class Selection(NamedTuple):
+    """Phase-A output: one candidate slot per grid cell."""
+
+    valid: jnp.ndarray  # (G,)
+    pt_idx: jnp.ndarray  # (G,) index into the visual map table
+    pt_pos: jnp.ndarray  # (G, 3)
+    ref_patch: jnp.ndarray  # (G, L, 64) per update level
+    search_level: jnp.ndarray  # (G,) int32 in [0, 2]
+    scale: jnp.ndarray  # (G,) float 2^search_level
+    cell_score: jnp.ndarray  # (n_cells,) max map-point score per cell
+
+
+def camera_pose(state_rot, state_pos, rot_ci, t_ci):
+    """World->camera from the IMU state: p_c = Rcw p_w + Pcw
+    (reference: updateFrameState, lidar_selection.cpp:896-903)."""
+    rcw = rot_ci @ state_rot.T
+    pcw = -rcw @ state_pos + t_ci
+    return rcw, pcw
+
+
+def build_depth_image(
+    cam: Pinhole,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    pts_world: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scatter-min depth buffer from the scan cloud (reference builds it
+    with last-write, lidar_selection.cpp:367-401; min is strictly better
+    for occlusion)."""
+    p_c = pts_world @ rcw.T + pcw
+    z = p_c[..., 2]
+    uv = cam.project(p_c)
+    ok = mask & (z > 0) & cam.in_frame(uv, border=1)
+    col = jnp.clip(uv[..., 0].astype(jnp.int32), 0, cam.width - 1)
+    row = jnp.clip(uv[..., 1].astype(jnp.int32), 0, cam.height - 1)
+    flat = jnp.where(ok, row * cam.width + col, cam.width * cam.height)
+    depth = jnp.full((cam.height * cam.width,), jnp.inf, z.dtype)
+    depth = depth.at[flat].min(jnp.where(ok, z, jnp.inf), mode="drop")
+    depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+    return depth.reshape(cam.height, cam.width)
+
+
+def _depth_continuous(
+    depth_img: jnp.ndarray, uv: jnp.ndarray, z: jnp.ndarray, thresh: float, half: int = 4
+) -> jnp.ndarray:
+    """True when the 9x9 depth neighborhood has no conflicting return
+    (reference: lidar_selection.cpp:476-503)."""
+    h, w = depth_img.shape
+    r = jnp.arange(-half, half + 1)
+    dv, du = jnp.meshgrid(r, r, indexing="ij")
+    cols = uv[:, None, 0].astype(jnp.int32) + du.reshape(-1)[None, :]
+    rows = uv[:, None, 1].astype(jnp.int32) + dv.reshape(-1)[None, :]
+    ok = (cols >= 0) & (cols < w) & (rows >= 0) & (rows < h)
+    d = depth_img[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
+    conflict = ok & (d > 0) & (jnp.abs(z[:, None] - d) > thresh)
+    return ~jnp.any(conflict, axis=-1)
+
+
+def _cell_argmin(values: jnp.ndarray, cells: jnp.ndarray, n_cells: int):
+    """Per-cell argmin via two scatter passes. Returns (winner_idx (C,),
+    has_winner (C,)). `cells` must be n_cells for masked-out entries."""
+    big = jnp.finfo(values.dtype).max
+    cmin = jnp.full((n_cells + 1,), big, values.dtype).at[cells].min(values)
+    is_min = values <= cmin[cells]
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    winner = jnp.full((n_cells + 1,), n, jnp.int32).at[
+        jnp.where(is_min, cells, n_cells)
+    ].min(idx, mode="drop")
+    has = winner[:n_cells] < n
+    return jnp.clip(winner[:n_cells], 0, n - 1), has
+
+
+def select(
+    state: NavState,
+    vmap: vmap_mod.VisualMap,
+    img: jnp.ndarray,
+    scan_world: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    cam: Pinhole,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    vm_cfg: vmap_mod.VisualMapConfig,
+    cfg: VioConfig,
+) -> Tuple[Selection, jnp.ndarray]:
+    """Phase A. Returns (Selection, depth_img)."""
+    dtype = img.dtype
+    gw, gh = cfg.grid_dims(cam)
+    n_cells = gw * gh
+    rcw, pcw = camera_pose(state.rot, state.pos, rot_ci, t_ci)
+    cam_pos = -rcw.T @ pcw
+
+    depth_img = build_depth_image(cam, rcw, pcw, scan_world, scan_mask)
+
+    # --- candidate gating over the whole point table.
+    p_c = vmap.pos @ rcw.T + pcw
+    z = p_c[..., 2]
+    uv = cam.project(p_c)
+    in_frame = cam.in_frame(uv, border=cfg.border_px)
+    cand = vmap.active & (z > 0) & in_frame
+
+    # Visibility: the scan must actually return depth near this point
+    # (subsumes the reference's sub_feat_map voxel test) and with no
+    # conflicting closer/farther surface in the patch footprint.
+    cont = _depth_continuous(depth_img, uv, z, cfg.depth_continuous_thresh)
+    near = _depth_near(depth_img, uv, z, cfg.depth_continuous_thresh)
+    cand = cand & cont & near
+
+    cells = (
+        (uv[..., 0] / cfg.grid_size).astype(jnp.int32) * gh
+        + (uv[..., 1] / cfg.grid_size).astype(jnp.int32)
+    )
+    cells = jnp.clip(cells, 0, n_cells - 1)
+    cell_of = jnp.where(cand, cells, n_cells)
+
+    # Per-cell max score over in-frame points (map_value in the reference,
+    # used to admit new points in phase C).
+    score_src = jnp.where(vmap.active & (z > 0) & in_frame, vmap.score, -1.0)
+    cell_score = jnp.full((n_cells + 1,), 0.0, dtype).at[
+        jnp.where(vmap.active & (z > 0) & in_frame, cells, n_cells)
+    ].max(score_src, mode="drop")[:n_cells]
+
+    dist = jnp.linalg.norm(vmap.pos - cam_pos, axis=-1)
+    dist = jnp.where(cand, dist, jnp.finfo(dtype).max)
+    winner, has = _cell_argmin(dist, cell_of, n_cells)
+
+    pt_idx = winner  # (G,)
+    pt_pos = vmap.pos[pt_idx]
+    sel_uv = uv[pt_idx]
+
+    # --- reference observation by viewing angle.
+    obs_k, view_ok = vmap_mod.closest_view_obs(vmap, pt_idx, cam_pos)
+    valid = has & view_ok
+
+    g = pt_idx.shape[0]
+    gi = jnp.arange(g)
+    ref_px = vmap.obs_px[pt_idx, obs_k]  # (G, 2)
+    ref_rcw = vmap.obs_rcw[pt_idx, obs_k]
+    ref_pcw = vmap.obs_pcw[pt_idx, obs_k]
+    ref_cam_pos = vmap_mod.obs_cam_pos(ref_rcw, ref_pcw)
+    ref_patches = vmap.obs_patch[pt_idx, obs_k]  # (G, L, S, S)
+
+    # --- affine warp A_cur_ref (reference: getWarpMatrixAffine,
+    # lidar_selection.cpp:224-246).
+    half = cfg.patch_size // 2
+    depth_ref = jnp.linalg.norm(ref_cam_pos - pt_pos, axis=-1)
+    f_ref = cam.unproject(ref_px)
+    xyz_ref = f_ref * depth_ref[:, None]
+    du_px = ref_px + jnp.asarray([half, 0.0], dtype)
+    dv_px = ref_px + jnp.asarray([0.0, half], dtype)
+    xyz_du = cam.unproject(du_px)
+    xyz_dv = cam.unproject(dv_px)
+    xyz_du = xyz_du * (xyz_ref[:, 2:3] / jnp.maximum(xyz_du[:, 2:3], 1e-9))
+    xyz_dv = xyz_dv * (xyz_ref[:, 2:3] / jnp.maximum(xyz_dv[:, 2:3], 1e-9))
+
+    r_cr = jnp.einsum("ij,njk->nik", rcw, jnp.swapaxes(ref_rcw, -1, -2))
+    t_cr = pcw[None, :] - jnp.einsum("nij,nj->ni", r_cr, ref_pcw)
+
+    def to_cur_px(xyz):
+        return cam.project(jnp.einsum("nij,nj->ni", r_cr, xyz) + t_cr)
+
+    px_cur = to_cur_px(xyz_ref)
+    a_cur_ref = jnp.stack(
+        [(to_cur_px(xyz_du) - px_cur) / half, (to_cur_px(xyz_dv) - px_cur) / half],
+        axis=-1,
+    )  # (G, 2, 2)
+
+    det = (
+        a_cur_ref[:, 0, 0] * a_cur_ref[:, 1, 1]
+        - a_cur_ref[:, 0, 1] * a_cur_ref[:, 1, 0]
+    )
+    # getBestSearchLevel (lidar_selection.cpp:304-318): D>3 -> next level.
+    search_level = (
+        (det > 3.0).astype(jnp.int32) + (det > 12.0).astype(jnp.int32)
+    )
+    scale = jnp.exp2(search_level.astype(dtype))
+    valid = valid & (jnp.abs(det) > 1e-6)
+
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-6, det, 1.0)
+    a_ref_cur = (
+        jnp.stack(
+            [
+                jnp.stack([a_cur_ref[:, 1, 1], -a_cur_ref[:, 0, 1]], axis=-1),
+                jnp.stack([-a_cur_ref[:, 1, 0], a_cur_ref[:, 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        * inv_det[:, None, None]
+    )
+
+    # --- warp the stored reference patch to the current view (reference:
+    # warpAffine, lidar_selection.cpp:248-283; here sampling the stored
+    # patch pyramid at the search level instead of the retained image).
+    grid = img_ops.patch_grid(cfg.patch_size, dtype)  # (64, 2)
+    px_patch = grid[None, :, :] * scale[:, None, None]  # cur-frame px units
+    ref_off = jnp.einsum("nij,nkj->nki", a_ref_cur, px_patch)  # ref px units
+    center = vm_cfg.stored_patch // 2
+    lvl_patches = ref_patches[gi, jnp.clip(search_level, 0, vm_cfg.levels - 1)]
+    coords = ref_off / scale[:, None, None] + center
+    warped = img_ops.sample_patch_grid(lvl_patches, coords)  # (G, 64)
+
+    # Unwarped refs for update levels 1..L-1: central 8x8 texels.
+    r8 = jnp.arange(cfg.patch_size) - half + center
+    refs = [warped]
+    for lvl in range(1, cfg.levels):
+        refs.append(
+            ref_patches[:, lvl][:, r8[:, None], r8[None, :]].reshape(g, -1)
+        )
+    ref_patch = jnp.stack(refs, axis=1)  # (G, L, 64)
+
+    # --- photometric outlier gate at the search-level stride.
+    cur_patch = img_ops.extract_patches(img, sel_uv, cfg.patch_size, scale)
+    err = jnp.sum((warped - cur_patch) ** 2, axis=-1)
+    valid = valid & (err <= cfg.outlier_threshold * cfg.patch_size**2)
+    if cfg.ncc_en:
+        wm = warped - warped.mean(axis=-1, keepdims=True)
+        cm = cur_patch - cur_patch.mean(axis=-1, keepdims=True)
+        ncc = jnp.sum(wm * cm, axis=-1) / jnp.sqrt(
+            jnp.sum(wm * wm, -1) * jnp.sum(cm * cm, -1) + 1e-10
+        )
+        valid = valid & (ncc >= cfg.ncc_thre)
+
+    sel = Selection(
+        valid=valid,
+        pt_idx=pt_idx,
+        pt_pos=pt_pos,
+        ref_patch=jnp.where(valid[:, None, None], ref_patch, 0.0),
+        search_level=search_level,
+        scale=scale,
+        cell_score=cell_score,
+    )
+    return sel, depth_img
+
+
+def _depth_near(depth_img, uv, z, thresh, half: int = 4):
+    """At least one scan return within `thresh` of the point's depth in the
+    patch footprint — the point lies on currently observed geometry."""
+    h, w = depth_img.shape
+    r = jnp.arange(-half, half + 1)
+    dv, du = jnp.meshgrid(r, r, indexing="ij")
+    cols = uv[:, None, 0].astype(jnp.int32) + du.reshape(-1)[None, :]
+    rows = uv[:, None, 1].astype(jnp.int32) + dv.reshape(-1)[None, :]
+    ok = (cols >= 0) & (cols < w) & (rows >= 0) & (rows < h)
+    d = depth_img[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
+    near = ok & (d > 0) & (jnp.abs(z[:, None] - d) <= thresh)
+    return jnp.any(near, axis=-1)
+
+
+def photometric_update(
+    state_prop: NavState,
+    sel: Selection,
+    img: jnp.ndarray,
+    cam: Pinhole,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    cfg: VioConfig,
+) -> Tuple[NavState, jnp.ndarray, jnp.ndarray]:
+    """Phase B: coarse-to-fine iterated EKF (reference ComputeJ/UpdateState).
+
+    Returns (posterior state, error_before, error_after)."""
+    dtype = img.dtype
+    p_inv = linalg.psd_inverse(state_prop.cov / cfg.img_point_cov)
+    psz2 = cfg.patch_size**2
+
+    def residuals_and_h(rot, pos, level):
+        rcw, pcw = camera_pose(rot, pos, rot_ci, t_ci)
+        p_i = (sel.pt_pos - pos) @ rot  # IMU-frame point (N, 3)
+        p_c = sel.pt_pos @ rcw.T + pcw
+        z_ok = p_c[..., 2] > 1e-3
+        uv = cam.project(p_c)
+        pyr_scale = sel.scale * (2.0**level)
+        in_ok = cam.in_frame(uv, border=cfg.border_px // 2)
+        valid = sel.valid & z_ok & in_ok
+
+        val, du, dv = img_ops.patch_residual_grad(
+            img, uv, cfg.patch_size, pyr_scale
+        )
+        res = val - sel.ref_patch[:, level, :]  # (N, 64)
+
+        jdpi = cam.dpi(p_c)  # (N, 2, 3)
+        # d p_c / d theta = Rci [p_i]x ; d p_c / d pos = -Rci R^T
+        dpc_dth = jnp.einsum("ij,njk->nik", rot_ci, so3.hat(p_i))
+        dpc_dp = -(rot_ci @ rot.T)
+        jimg = jnp.stack([du, dv], axis=-1)  # (N, 64, 2)
+        juv = jnp.einsum("nkx,nxb->nkb", jimg, jdpi)  # (N, 64, 3)
+        jth = jnp.einsum("nkb,nbc->nkc", juv, dpc_dth)
+        jp = jnp.einsum("nkb,bc->nkc", juv, dpc_dp)
+        h = jnp.concatenate([jth, jp], axis=-1)  # (N, 64, 6)
+
+        h = jnp.where(valid[:, None, None], h, 0.0)
+        res = jnp.where(valid[:, None], res, 0.0)
+        n_meas = jnp.sum(valid.astype(jnp.int32)) * psz2
+        err = jnp.sum(res * res) / jnp.maximum(n_meas.astype(dtype), 1.0)
+        return h.reshape(-1, 6), res.reshape(-1), err
+
+    class Carry(NamedTuple):
+        rot: jnp.ndarray
+        pos: jnp.ndarray
+        vel: jnp.ndarray
+        bg: jnp.ndarray
+        ba: jnp.ndarray
+        grav: jnp.ndarray
+        best: tuple  # rollback snapshot (rot, pos, vel, bg, ba, grav)
+        g_mat: jnp.ndarray
+        last_error: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    def run_level(state_in, g_mat_in, level):
+        nav0 = (state_in.rot, state_in.pos, state_in.vel, state_in.bg,
+                state_in.ba, state_in.grav)
+
+        def body(c: Carry):
+            h, res, err = residuals_and_h(c.rot, c.pos, level)
+            improved = err <= c.last_error
+
+            hth6 = h.T @ h
+            hty6 = -(h.T @ res)
+            hth = jnp.zeros((DIM_STATE, DIM_STATE), dtype).at[0:6, 0:6].set(hth6)
+            hty = jnp.zeros((DIM_STATE,), dtype).at[0:6].set(hty6)
+            s_mat = hth + p_inv
+            cur = NavState(c.rot, c.pos, c.vel, c.bg, c.ba, c.grav, state_prop.cov)
+            vec = boxminus(state_prop, cur)
+            dx = vec + linalg.psd_solve(s_mat, hty - hth @ vec)
+            g_new = linalg.psd_solve(s_mat, hth)
+            new = boxplus(cur, dx)
+
+            converged = (jnp.linalg.norm(dx[0:3]) * _R2D < cfg.converge_rot_deg) & (
+                jnp.linalg.norm(dx[3:6]) * 100.0 < cfg.converge_trans_cm
+            )
+
+            # Accept: step from cur; snapshot cur as rollback point.
+            # Reject: restore snapshot and stop (reference :858-884).
+            def pick(a, b):
+                return jax.tree.map(
+                    lambda x, y: jnp.where(improved, x, y), a, b
+                )
+
+            nav_new = pick(
+                (new.rot, new.pos, new.vel, new.bg, new.ba, new.grav), c.best
+            )
+            best_new = pick((c.rot, c.pos, c.vel, c.bg, c.ba, c.grav), c.best)
+            g_out = jnp.where(improved, g_new, c.g_mat)
+            return Carry(
+                rot=nav_new[0], pos=nav_new[1], vel=nav_new[2],
+                bg=nav_new[3], ba=nav_new[4], grav=nav_new[5],
+                best=best_new,
+                g_mat=g_out,
+                last_error=jnp.where(improved, err, c.last_error),
+                it=c.it + 1,
+                done=(~improved) | converged | (c.it + 1 >= cfg.max_iterations),
+            )
+
+        init = Carry(
+            rot=nav0[0], pos=nav0[1], vel=nav0[2], bg=nav0[3], ba=nav0[4],
+            grav=nav0[5], best=nav0, g_mat=g_mat_in,
+            last_error=jnp.asarray(jnp.inf, dtype),
+            it=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+        )
+        c = jax.lax.while_loop(lambda c: ~c.done, body, init)
+        return (
+            NavState(c.rot, c.pos, c.vel, c.bg, c.ba, c.grav, state_prop.cov),
+            c.g_mat,
+            c.last_error,
+        )
+
+    state = state_prop
+    g_mat = jnp.zeros((DIM_STATE, DIM_STATE), dtype)
+    err_first = None
+    err_last = jnp.asarray(0.0, dtype)
+    for level in range(cfg.levels - 1, -1, -1):
+        state, g_mat, err_last = run_level(state, g_mat, level)
+        if err_first is None:
+            err_first = err_last
+
+    # Covariance shrink when the update improved the fit (reference
+    # ComputeJ: state->cov -= G * state->cov).
+    improved = err_last <= err_first
+    cov = jnp.where(
+        improved,
+        state_prop.cov - g_mat @ state_prop.cov,
+        state_prop.cov,
+    )
+    cov = 0.5 * (cov + cov.T)
+    return state._replace(cov=cov), err_first, err_last
+
+
+def maintain(
+    state: NavState,
+    vmap: vmap_mod.VisualMap,
+    sel: Selection,
+    img: jnp.ndarray,
+    scan_world: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    cam: Pinhole,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    vm_cfg: vmap_mod.VisualMapConfig,
+    cfg: VioConfig,
+) -> Tuple[vmap_mod.VisualMap, jnp.ndarray, jnp.ndarray]:
+    """Phase C: new map points (addSparseMap) + observation appends
+    (addObservation), at the posterior pose. Returns (vmap, n_new, n_obs)."""
+    dtype = img.dtype
+    gw, gh = cfg.grid_dims(cam)
+    n_cells = gw * gh
+    rcw, pcw = camera_pose(state.rot, state.pos, rot_ci, t_ci)
+
+    # --- new points: best Shi-Tomasi scan point per cell, beating the
+    # existing map points' best score in that cell.
+    p_c = scan_world @ rcw.T + pcw
+    z = p_c[..., 2]
+    uv = cam.project(p_c)
+    ok = scan_mask & (z > 0) & cam.in_frame(uv, border=cfg.border_px)
+    score = img_ops.shi_tomasi(img, uv)
+    score = jnp.where(ok, score, -1.0)
+    cells = jnp.clip(
+        (uv[..., 0] / cfg.grid_size).astype(jnp.int32) * gh
+        + (uv[..., 1] / cfg.grid_size).astype(jnp.int32),
+        0,
+        n_cells - 1,
+    )
+    cell_of = jnp.where(ok, cells, n_cells)
+    winner, has = _cell_argmin(-score, cell_of, n_cells)
+    w_score = score[winner]
+    new_ok = has & (w_score > sel.cell_score) & (w_score > 0.0)
+
+    new_px = uv[winner]
+    patches = jnp.stack(
+        [
+            img_ops.extract_patches(img, new_px, vm_cfg.stored_patch, 1 << lvl)
+            for lvl in range(vm_cfg.levels)
+        ],
+        axis=1,
+    ).reshape(n_cells, vm_cfg.levels, vm_cfg.stored_patch, vm_cfg.stored_patch)
+
+    vmap = vmap_mod.add_points(
+        vmap, vm_cfg, scan_world[winner], w_score, patches, new_px, rcw, pcw, new_ok
+    )
+
+    # --- observation appends for the tracked candidates.
+    sel_pc = sel.pt_pos @ rcw.T + pcw
+    sel_uv = cam.project(sel_pc)
+    obs_ok = sel.valid & (sel_pc[..., 2] > 0) & cam.in_frame(sel_uv, cfg.border_px)
+
+    last_k = (vmap.obs_cursor[sel.pt_idx] - 1) % vm_cfg.max_obs
+    last_px = vmap.obs_px[sel.pt_idx, last_k]
+    last_rcw = vmap.obs_rcw[sel.pt_idx, last_k]
+    last_pcw = vmap.obs_pcw[sel.pt_idx, last_k]
+    last_cam = vmap_mod.obs_cam_pos(last_rcw, last_pcw)
+    cam_pos = -rcw.T @ pcw
+    delta_p = jnp.linalg.norm(cam_pos - last_cam, axis=-1)
+    px_dist = jnp.linalg.norm(sel_uv - last_px, axis=-1)
+    # reference: delta_p > 0.5 || delta_theta > 10 (rad; never fires) ||
+    # pixel_dist > 40 (lidar_selection.cpp:917-927).
+    add_flag = obs_ok & ((delta_p > 0.5) | (px_dist > 40.0))
+
+    sel_score = img_ops.shi_tomasi(img, sel_uv)
+    sel_patches = jnp.stack(
+        [
+            img_ops.extract_patches(img, sel_uv, vm_cfg.stored_patch, 1 << lvl)
+            for lvl in range(vm_cfg.levels)
+        ],
+        axis=1,
+    ).reshape(-1, vm_cfg.levels, vm_cfg.stored_patch, vm_cfg.stored_patch)
+
+    vmap = vmap_mod.add_observations(
+        vmap, vm_cfg, sel.pt_idx, sel_score, sel_patches, sel_uv, rcw, pcw, add_flag
+    )
+    return vmap, jnp.sum(new_ok.astype(jnp.int32)), jnp.sum(add_flag.astype(jnp.int32))
+
+
+def vio_update(
+    state_prop: NavState,
+    vmap: vmap_mod.VisualMap,
+    img: jnp.ndarray,
+    scan_world: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    cam: Pinhole,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    vm_cfg: vmap_mod.VisualMapConfig,
+    cfg: VioConfig,
+) -> Tuple[NavState, vmap_mod.VisualMap, VioInfo]:
+    """Full per-frame VIO (reference: LidarSelector::detect,
+    lidar_selection.cpp:1024-1123): select -> update -> maintain."""
+    sel, _ = select(
+        state_prop, vmap, img, scan_world, scan_mask, cam, rot_ci, t_ci, vm_cfg, cfg
+    )
+    posterior, err0, err1 = photometric_update(
+        state_prop, sel, img, cam, rot_ci, t_ci, cfg
+    )
+    vmap, n_new, n_obs = maintain(
+        posterior, vmap, sel, img, scan_world, scan_mask, cam, rot_ci, t_ci,
+        vm_cfg, cfg,
+    )
+    info = VioInfo(
+        n_selected=jnp.sum(sel.valid.astype(jnp.int32)),
+        error_before=err0,
+        error_after=err1,
+        n_new_points=n_new,
+        n_new_obs=n_obs,
+    )
+    return posterior, vmap, info

@@ -1,0 +1,181 @@
+"""Image operations for the photometric VIO path (pure JAX, batched).
+
+Replaces the reference's OpenCV/vikit raster loops
+(reference: src/lidar_selection.cpp — getpatch :117, bilinear gradient
+stencils inside UpdateState :824-846, vk::shiTomasiScore, pyramid halfSample)
+with gather-based batched kernels:
+
+- `bilinear`: vectorized subpixel sampling with zero padding,
+- `extract_patches`: the getpatch equivalent — one gather for all
+  (point, pixel) pairs at a pyramid scale,
+- `patch_residual_grad`: samples intensity AND the +-1-texel central
+  difference gradient in one fused computation (the inner loop of
+  UpdateState),
+- `build_pyramid`: 2x2 average-pool pyramid,
+- `shi_tomasi`: batched corner scores at candidate pixels.
+
+Convention: images are (H, W) float32; pixel coords are (u, v) = (col,
+row) like the reference; all samplers take flat (..., 2) pixel arrays.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (H, W) at uv (..., 2); zero outside."""
+    h, w = img.shape
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    def tap(du, dv):
+        ui = u0i + du
+        vi = v0i + dv
+        ok = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+        val = img[jnp.clip(vi, 0, h - 1), jnp.clip(ui, 0, w - 1)]
+        return jnp.where(ok, val, 0.0)
+
+    return (
+        tap(0, 0) * (1 - fu) * (1 - fv)
+        + tap(1, 0) * fu * (1 - fv)
+        + tap(0, 1) * (1 - fu) * fv
+        + tap(1, 1) * fu * fv
+    )
+
+
+def patch_grid(patch_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(patch_size^2, 2) offsets centered at the patch middle:
+    (-half .. half-1) in both axes, row-major (x = row, y = col like the
+    reference's x/y loops)."""
+    half = patch_size // 2
+    r = jnp.arange(patch_size, dtype=dtype) - half
+    vv, uu = jnp.meshgrid(r, r, indexing="ij")  # element k = row*P + col
+    return jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)  # (u=col, v=row)
+
+
+def _patch_uv(img, centers, patch_size, scale):
+    """Shared anchoring: scale may be a python int or a per-point (N,)
+    array (different pyramid strides per point)."""
+    s = jnp.broadcast_to(
+        jnp.asarray(scale, img.dtype), centers.shape[:-1]
+    )[..., None]  # (N, 1)
+    base = jnp.floor(centers / s) * s
+    sub = (centers - base) / s
+    grid = patch_grid(patch_size, img.dtype)  # (K, 2)
+    uv = base[:, None, :] + (grid[None, :, :] + sub[:, None, :]) * s[:, None, :]
+    return uv, s
+
+
+def extract_patches(
+    img: jnp.ndarray, centers: jnp.ndarray, patch_size: int, scale
+) -> jnp.ndarray:
+    """getpatch equivalent: (N, 2) centers -> (N, patch_size^2) intensities.
+
+    Mirrors the reference's anchoring (lidar_selection.cpp:117-139): the
+    patch grid is anchored at floor(center/scale)*scale and stepped by
+    `scale`, with the subpixel fraction applied uniformly to every texel.
+    """
+    uv, _ = _patch_uv(img, centers, patch_size, scale)
+    return bilinear(img, uv)
+
+
+def patch_residual_grad(
+    img: jnp.ndarray,
+    centers: jnp.ndarray,
+    patch_size: int,
+    scale,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused intensity + central-difference gradient sampling.
+
+    Returns (intensity (N, K), du (N, K), dv (N, K)) where K = patch_size^2
+    and gradients are in *full-resolution pixel* units (the reference
+    multiplies Jimg by 1/scale; here the division is already applied).
+    """
+    uv, s = _patch_uv(img, centers, patch_size, scale)
+    val = bilinear(img, uv)
+    zero = jnp.zeros_like(s)
+    off_u = jnp.concatenate([s, zero], axis=-1)[:, None, :]
+    off_v = jnp.concatenate([zero, s], axis=-1)[:, None, :]
+    du = 0.5 * (bilinear(img, uv + off_u) - bilinear(img, uv - off_u)) / s
+    dv = 0.5 * (bilinear(img, uv + off_v) - bilinear(img, uv - off_v)) / s
+    return val, du, dv
+
+
+def sample_patch_grid(
+    patches: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear sampling inside small stored patches.
+
+    patches: (N, S, S) per-point texel grids; coords: (N, K, 2) in texel
+    units with (0, 0) at the grid's top-left (u = col, v = row). Samples
+    outside clamp to the border (the affine warp's extent is bounded by
+    design; clamping only grazes corner texels).
+    """
+    n, s, _ = patches.shape
+    u = jnp.clip(coords[..., 0], 0.0, s - 1.0)
+    v = jnp.clip(coords[..., 1], 0.0, s - 1.0)
+    u0 = jnp.clip(jnp.floor(u), 0, s - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, s - 2).astype(jnp.int32)
+    fu = u - u0
+    fv = v - v0
+    pidx = jnp.arange(n)[:, None]
+
+    def tap(du, dv):
+        return patches[pidx, jnp.clip(v0 + dv, 0, s - 1), jnp.clip(u0 + du, 0, s - 1)]
+
+    return (
+        tap(0, 0) * (1 - fu) * (1 - fv)
+        + tap(1, 0) * fu * (1 - fv)
+        + tap(0, 1) * (1 - fu) * fv
+        + tap(1, 1) * fu * fv
+    )
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """2x2 average-pool pyramid, level 0 = full resolution."""
+    pyr = [img]
+    cur = img
+    for _ in range(levels - 1):
+        h, w = cur.shape
+        cur = cur[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+        pyr.append(cur)
+    return pyr
+
+
+def shi_tomasi(img: jnp.ndarray, centers: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Batched Shi-Tomasi (min eigenvalue of the gradient Gram) at centers.
+
+    Parity with vk::shiTomasiScore (used by addSparseMap,
+    lidar_selection.cpp:157): gradients over a (2*halfbox)^2 box, score =
+    smaller eigenvalue of [[dXX, dXY], [dXY, dYY]] / (2 * area).
+    """
+    box = 2 * halfbox
+    r = jnp.arange(box, dtype=img.dtype) - halfbox
+    yy, xx = jnp.meshgrid(r, r, indexing="ij")
+    grid = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # (B, 2)
+    uv = jnp.floor(centers)[:, None, :] + grid[None, :, :]
+
+    off_u = jnp.asarray([1.0, 0.0], img.dtype)
+    off_v = jnp.asarray([0.0, 1.0], img.dtype)
+    dx = 0.5 * (bilinear(img, uv + off_u) - bilinear(img, uv - off_u))
+    dy = 0.5 * (bilinear(img, uv + off_v) - bilinear(img, uv - off_v))
+
+    dxx = jnp.sum(dx * dx, axis=-1)
+    dyy = jnp.sum(dy * dy, axis=-1)
+    dxy = jnp.sum(dx * dy, axis=-1)
+    area = box * box
+    return (
+        0.5
+        * (dxx + dyy - jnp.sqrt((dxx - dyy) ** 2 + 4.0 * dxy**2))
+        / area
+    )
