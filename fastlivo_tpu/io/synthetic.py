@@ -22,7 +22,7 @@ from typing import Callable, List, Tuple
 
 import numpy as np
 
-from fastlivo_tpu.io.sensors import ImuSample, LidarScan
+from fastlivo_tpu.io.sensors import ImageFrame, ImuSample, LidarScan
 from fastlivo_tpu.state import GRAVITY_MS2
 
 
@@ -50,18 +50,28 @@ class Trajectory:
 
 
 def default_trajectory(speed: float = 1.0, yaw_rate: float = 0.3) -> Trajectory:
-    """Gentle arc with mild vertical oscillation (handheld-like)."""
+    """Gentle arc with mild vertical oscillation (handheld-like).
+
+    Time is warped through tau(t) = t^2/(t+0.5) so the rig starts at REST
+    (vel(0) = 0) — matching the zero-velocity initialization assumption the
+    reference makes (IMU_Processing.cpp:92-145) and avoiding an unphysical
+    velocity jump at t=0.
+    """
+
+    def warp(t):
+        return t * t / (t + 0.5)
 
     def pos(t):
+        tau = warp(t)
         return np.array(
             [
-                2.0 * np.sin(0.5 * speed * t),
-                2.0 * (1 - np.cos(0.5 * speed * t)),
-                0.1 * np.sin(1.3 * t),
+                2.0 * np.sin(0.5 * speed * tau),
+                2.0 * (1 - np.cos(0.5 * speed * tau)),
+                0.1 * np.sin(1.3 * tau),
             ]
         )
 
-    return Trajectory(pos_fn=pos, yaw_fn=lambda t: yaw_rate * t)
+    return Trajectory(pos_fn=pos, yaw_fn=lambda t: yaw_rate * warp(t))
 
 
 def make_world(rng: np.random.Generator, n: int = 60000, half: float = 10.0) -> np.ndarray:
@@ -116,6 +126,14 @@ class SyntheticSequence:
     gt_rot: np.ndarray  # (K, 3, 3)
     gt_pos: np.ndarray  # (K, 3)
     world: np.ndarray  # reference world points
+    frames: List[ImageFrame] = None  # rendered camera frames (LIVO mode)
+
+
+# Camera mounted forward: x_cam=right(-y_imu), y_cam=down(-z_imu),
+# z_cam=forward(+x_imu). R_ic columns are camera axes in IMU coords.
+R_IC_FORWARD = np.array(
+    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+)
 
 
 def generate(
@@ -130,11 +148,16 @@ def generate(
     accel_bias: np.ndarray | None = None,
     trajectory: Trajectory | None = None,
     world_half: float = 10.0,
+    n_boxes: int = 6,
+    camera=None,  # ops.camera.Pinhole -> also render frames
+    cam_rate: float = 10.0,
+    cam_offset: float = 0.05,  # interleave frames mid-sweep
+    rot_ic: np.ndarray | None = None,
 ) -> SyntheticSequence:
     """Generate a full synthetic LIVO sequence."""
     rng = np.random.default_rng(seed)
     traj = trajectory or default_trajectory()
-    boxes = _default_boxes(rng, world_half)
+    boxes = _default_boxes(rng, world_half)[:n_boxes]
     bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
     ba = np.zeros(3) if accel_bias is None else np.asarray(accel_bias)
     grav = np.array([0.0, 0.0, -GRAVITY_MS2])
@@ -162,7 +185,12 @@ def generate(
         offs = np.sort(rng.uniform(0.0, scan_period, pts_per_scan))
         # world sample the sensor would hit, then express it in the body
         # frame AT THE POINT'S OWN TIME (this is the distortion).
+        # Shuffle so sample times are NOT correlated with surfaces — a real
+        # scanner interleaves directions over the sweep; without this, a
+        # partial-sweep measurement (image-bounded group) would contain a
+        # single surface and lose constraint directions entirely.
         world_pts = _sample_surfaces(rng, pts_per_scan, world_half, boxes)
+        world_pts = world_pts[rng.permutation(len(world_pts))]
         body = np.empty_like(world_pts)
         # vectorized over unique pose sub-steps (poses vary smoothly; use
         # 32 time buckets per sweep — ample at handheld dynamics).
@@ -187,6 +215,36 @@ def generate(
         gt_rot.append(rot_e)
         gt_pos.append(pos_e)
 
+    # --- camera frames via the analytic room renderer (photometrically
+    # consistent with the LiDAR planes; boxes are not rendered, their
+    # candidates are culled by the depth gate).
+    frames = None
+    if camera is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from fastlivo_tpu.io.render import render_room
+
+        r_ic = R_IC_FORWARD if rot_ic is None else rot_ic
+        rot_ci = r_ic.T
+        jrender = jax.jit(render_room, static_argnames="cam")
+        frames = []
+        t = cam_offset
+        while t < duration:
+            rot_wi, pos = traj.pose(t)
+            rcw = rot_ci @ rot_wi.T
+            pcw = -rcw @ pos
+            img = np.asarray(
+                jrender(
+                    camera,
+                    jnp.asarray(rcw, jnp.float32),
+                    jnp.asarray(pcw, jnp.float32),
+                    half=world_half,
+                )
+            )
+            frames.append(ImageFrame(stamp=float(t), img=img))
+            t += 1.0 / cam_rate
+
     return SyntheticSequence(
         imu=imu,
         scans=scans,
@@ -194,4 +252,5 @@ def generate(
         gt_rot=np.asarray(gt_rot),
         gt_pos=np.asarray(gt_pos),
         world=_sample_surfaces(rng, 60000, world_half, boxes),
+        frames=frames,
     )

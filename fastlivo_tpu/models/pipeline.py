@@ -22,10 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastlivo_tpu.maps import visual_map as vmap_mod
 from fastlivo_tpu.maps import voxel_map as vm
 from fastlivo_tpu.models import imu as imu_mod
 from fastlivo_tpu.models import lio
+from fastlivo_tpu.models import vio as vio_mod
 from fastlivo_tpu.ops import voxelize
+from fastlivo_tpu.ops.camera import Pinhole
 from fastlivo_tpu.state import NavState
 from fastlivo_tpu.utils.config import FastLivoConfig
 
@@ -43,10 +46,31 @@ class StepConfig:
     cov_acc: float = 0.01
     cov_bias_gyr: float = 1e-4
     cov_bias_acc: float = 1e-4
+    # Visual path (None camera => LIO-only, the reference's img_enable=0).
+    cam: Optional[Pinhole] = None
+    vio_cfg: vio_mod.VioConfig = vio_mod.VioConfig()
+    vm_cfg: vmap_mod.VisualMapConfig = vmap_mod.VisualMapConfig()
 
     @staticmethod
     def from_config(cfg: FastLivoConfig) -> "StepConfig":
         return StepConfig(
+            cam=Pinhole.from_config(cfg.camera) if cfg.vio.img_enable else None,
+            vio_cfg=vio_mod.VioConfig(
+                grid_size=cfg.vio.grid_size,
+                patch_size=cfg.vio.patch_size,
+                max_iterations=cfg.vio.max_iterations,
+                outlier_threshold=cfg.vio.outlier_threshold,
+                img_point_cov=cfg.vio.img_point_cov,
+                depth_continuous_thresh=cfg.vio.depth_continuous_thresh,
+                ncc_en=cfg.vio.ncc_en,
+                ncc_thre=cfg.vio.ncc_thre,
+                levels=cfg.vio.pyr_levels,
+            ),
+            vm_cfg=vmap_mod.VisualMapConfig(
+                capacity=cfg.vio.max_visual_points,
+                max_obs=cfg.vio.max_obs_per_point,
+                patch_size=cfg.vio.patch_size,
+            ),
             map_cfg=vm.VoxelMapConfig(
                 resolution=cfg.map.resolution,
                 capacity=cfg.map.capacity,
@@ -165,7 +189,48 @@ def lio_scan_step(
         add_all = jax.lax.all_gather(add, axis_name, tiled=True)
         lidar_map = vm.insert(lidar_map, p_w_all, add_all, cfg.map_cfg)
 
-    return posterior, lidar_map, info
+    # World cloud for the next VIO frames (the reference's pcl_wait_pub,
+    # laser_mapping.cpp:270-274).
+    return posterior, lidar_map, info, (p_w, ds_mask)
+
+
+def vio_scan_step(
+    state: NavState,
+    visual_map: vmap_mod.VisualMap,
+    scan: ScanInput,
+    img: jnp.ndarray,
+    world_cloud: jnp.ndarray,
+    world_mask: jnp.ndarray,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    cfg: StepConfig,
+) -> Tuple[NavState, vmap_mod.VisualMap, vio_mod.VioInfo]:
+    """One image-bounded measurement update (reference: Run VIO branch,
+    laser_mapping.cpp:86-126): propagate to the image timestamp, then the
+    photometric iterated EKF against the last completed scan's world cloud."""
+    state_prop, _ = imu_mod.propagate(
+        state,
+        scan.imu,
+        scan.t_end,
+        scan.acc_scale,
+        cfg.cov_gyr,
+        cfg.cov_acc,
+        cfg.cov_bias_gyr,
+        cfg.cov_bias_acc,
+    )
+    posterior, visual_map, info = vio_mod.vio_update(
+        state_prop,
+        visual_map,
+        img,
+        world_cloud,
+        world_mask,
+        cfg.cam,
+        rot_ci,
+        t_ci,
+        cfg.vm_cfg,
+        cfg.vio_cfg,
+    )
+    return posterior, visual_map, info
 
 
 def bootstrap_map(
@@ -204,22 +269,52 @@ class LivoPipeline:
         self.rot_il = jnp.asarray(rot, dtype)
         self.t_il = jnp.asarray(cfg.extrinsics.extrinsic_t, dtype)
 
+        # Camera-IMU from camera-LiDAR + LiDAR-IMU (reference composes the
+        # same way in LidarSelector::init): p_c = Rcl p_l + Pcl.
+        rcl = np.asarray(cfg.camera.rcl, np.float32).reshape(3, 3)
+        pcl = np.asarray(cfg.camera.pcl, np.float32)
+        rot_ci_np = rcl @ rot.T
+        self.rot_ci = jnp.asarray(rot_ci_np, dtype)
+        self.t_ci = jnp.asarray(
+            pcl - rot_ci_np @ np.asarray(cfg.extrinsics.extrinsic_t, np.float32),
+            dtype,
+        )
+
         self.state = NavState.identity(dtype)
         self.map = vm.make_map(self.step_cfg.map_cfg, dtype)
+        self.visual_map = vmap_mod.make_visual_map(self.step_cfg.vm_cfg, dtype)
         self.initializer = imu_mod.StaticInitializer(
             init_count=cfg.imu.init_count,
             zero_velocity_thresh=cfg.imu.zero_velocity_thresh,
         )
         self.first_scan = True
         self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
+        # Last completed scan's world cloud (the reference's pcl_wait_pub).
+        self.world_cloud = jnp.zeros((self.step_cfg.ds_capacity, 3), dtype)
+        self.world_mask = jnp.zeros((self.step_cfg.ds_capacity,), bool)
 
         self._step = jax.jit(
             lio_scan_step,
             static_argnames=("cfg", "axis_name"),
             donate_argnames=("lidar_map",),
         )
+        self._vio_step = jax.jit(
+            vio_scan_step,
+            static_argnames=("cfg",),
+            donate_argnames=("visual_map",),
+        )
         self._bootstrap = jax.jit(
             bootstrap_map, static_argnames=("cfg",), donate_argnames=("lidar_map",)
+        )
+        self._propagate = jax.jit(imu_mod.propagate)
+
+    def _advance(self, scan: ScanInput):
+        """Propagate the state through a group's IMU window WITHOUT a
+        measurement update. Every group must advance the state — the window
+        builder's clock moves forward regardless of whether an update runs,
+        so skipping propagation would silently drop motion."""
+        self.state, _ = self._propagate(
+            self.state, scan.imu, scan.t_end, scan.acc_scale
         )
 
     def process_scan(self, scan: ScanInput, t_abs: float):
@@ -235,14 +330,40 @@ class LivoPipeline:
             return None
 
         if self.first_scan:
+            self._advance(scan)
             self.map = self._bootstrap(
                 self.map, scan, self.state, self.rot_il, self.t_il, self.step_cfg
             )
             self.first_scan = False
             return None
 
-        self.state, self.map, info = self._step(
-            self.state, self.map, scan, self.rot_il, self.t_il, self.step_cfg
+        self.state, self.map, info, (self.world_cloud, self.world_mask) = (
+            self._step(
+                self.state, self.map, scan, self.rot_il, self.t_il, self.step_cfg
+            )
+        )
+        self._record(t_abs)
+        return info
+
+    def process_image(self, scan: ScanInput, img, t_abs: float):
+        """Feed one image-bounded measurement group (VIO update at the image
+        timestamp). Returns VioInfo or None before initialization."""
+        if not self.initializer.done:
+            return None
+        if self.step_cfg.cam is None or self.first_scan:
+            self._advance(scan)
+            return None
+        img = jnp.asarray(img, self.dtype)
+        self.state, self.visual_map, info = self._vio_step(
+            self.state,
+            self.visual_map,
+            scan,
+            img,
+            self.world_cloud,
+            self.world_mask,
+            self.rot_ci,
+            self.t_ci,
+            self.step_cfg,
         )
         self._record(t_abs)
         return info

@@ -89,7 +89,12 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
         lambda state, m, scan, rot_il, t_il: fn(state, m, scan, rot_il, t_il),
         mesh=mesh,
         in_specs=(state_specs, map_specs, scan_specs, P(), P()),
-        out_specs=(state_specs, map_specs, info_specs),
+        out_specs=(
+            state_specs,
+            map_specs,
+            info_specs,
+            (P(POINTS_AXIS), P(POINTS_AXIS)),  # world cloud stays sharded
+        ),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))

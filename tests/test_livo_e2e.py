@@ -1,0 +1,109 @@
+"""Full LIVO end-to-end: interleaved LiDAR + IMU + rendered camera frames
+through sync -> pipeline (LIO scan-end updates + VIO image updates)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastlivo_tpu.io import synthetic
+from fastlivo_tpu.io.sync import MeasurementSynchronizer, WindowBuilder
+from fastlivo_tpu.models.pipeline import LivoPipeline
+from fastlivo_tpu.ops.camera import Pinhole
+from fastlivo_tpu.utils.config import FastLivoConfig
+from fastlivo_tpu.utils.metrics import ate_rmse
+
+CAM = Pinhole(width=320, height=256, fx=200.0, fy=200.0, cx=160.0, cy=128.0)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate(
+        duration=3.0,
+        imu_rate=100.0,
+        scan_rate=10.0,
+        pts_per_scan=6000,
+        seed=2,
+        n_boxes=0,
+        camera=CAM,
+        cam_rate=10.0,
+        cam_offset=0.055,
+    )
+
+
+def make_cfg():
+    cfg = FastLivoConfig()
+    cfg.lio.max_points = 8192
+    cfg.map.capacity = 1 << 16
+    cfg.imu.imu_int_frame = 32
+    cfg.vio.img_enable = True
+    cfg.vio.max_visual_points = 4096
+    cfg.vio.max_obs_per_point = 4
+    cfg.camera.width = CAM.width
+    cfg.camera.height = CAM.height
+    cfg.camera.fx = CAM.fx
+    cfg.camera.fy = CAM.fy
+    cfg.camera.cx = CAM.cx
+    cfg.camera.cy = CAM.cy
+    cfg.camera.rcl = tuple(synthetic.R_IC_FORWARD.T.reshape(-1).tolist())
+    cfg.camera.pcl = (0.0, 0.0, 0.0)
+    cfg.extrinsics.extrinsic_r = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+    cfg.extrinsics.extrinsic_t = (0.0, 0.0, 0.0)
+    return cfg
+
+
+def test_livo_pipeline_runs_and_tracks(seq):
+    cfg = make_cfg()
+    pipe = LivoPipeline(cfg)
+    pipe.initializer.done = True
+    pipe.initializer.mean_acc = np.array([0.0, 0.0, 9.81])
+    pipe.initializer.mean_gyr = np.zeros(3)
+    pipe.state = pipe.initializer.initial_state()
+
+    sync = MeasurementSynchronizer(img_enabled=True)
+    builder = WindowBuilder(n_pts=8192, imu_window=cfg.imu.imu_int_frame)
+
+    imu_iter = iter(seq.imu)
+    pending = next(imu_iter)
+    frame_iter = iter(seq.frames)
+    pending_frame = next(frame_iter, None)
+
+    n_vio = n_lio = 0
+    est = []
+    for scan in seq.scans:
+        sync.push_lidar(scan)
+        while pending_frame is not None and pending_frame.stamp <= scan.end_time:
+            sync.push_image(pending_frame)
+            pending_frame = next(frame_iter, None)
+        while pending is not None and pending.stamp < scan.end_time + 0.05:
+            sync.push_imu(pending)
+            pending = next(imu_iter, None)
+        while (group := sync.next_group()) is not None:
+            scan_input, t_abs = builder.build(group)
+            scan_input = scan_input._replace(acc_scale=jnp.float32(pipe.acc_scale))
+            if group.is_lidar_end:
+                info = pipe.process_scan(scan_input, t_abs)
+                if info is not None:
+                    n_lio += 1
+                    est.append((t_abs, np.asarray(pipe.state.pos)))
+            else:
+                vinfo = pipe.process_image(
+                    scan_input, group.measures[-1].img.img, t_abs
+                )
+                if vinfo is not None:
+                    n_vio += 1
+
+    assert n_lio >= 20, f"lio updates {n_lio}"
+    assert n_vio >= 20, f"vio updates {n_vio}"
+
+    est_t = np.array([t for t, _ in est])
+    est_p = np.array([p for _, p in est])
+    gt_p = np.stack(
+        [seq.gt_pos[np.argmin(np.abs(seq.gt_stamps - t))] for t in est_t]
+    )
+    err = ate_rmse(est_p, gt_p)
+    assert err < 0.08, f"LIVO ATE {err * 100:.1f} cm"
+
+    # The visual map must have been populated and observed.
+    from fastlivo_tpu.maps import visual_map as vmap_mod
+
+    assert int(vmap_mod.num_active(pipe.visual_map)) > 100
