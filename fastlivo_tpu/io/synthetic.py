@@ -254,3 +254,47 @@ def generate(
         world=_sample_surfaces(rng, 60000, world_half, boxes),
         frames=frames,
     )
+
+
+def generate_gnss(
+    seq: SyntheticSequence,
+    anchor_blh=(0.389, 1.993, 20.0),  # rad, rad, m
+    yaw_enu_to_world: float = 0.4,
+    rate: float = 5.0,
+    noise_m: float = 0.02,
+    lever: np.ndarray | None = None,
+    seed: int = 0,
+    t_unix0: float = 1.7e9,
+):
+    """Derive a GNSS ECEF stream from a sequence's ground truth (the
+    MARS-LVIG-style input the reference consumes from RTK files).
+
+    Returns a list of models.gnss.GnssSample whose ENU track is the world
+    trajectory rotated by -yaw (so the fusion must recover the yaw and
+    lever)."""
+    from scipy.spatial.transform import Rotation
+
+    from fastlivo_tpu.models.gnss import GnssSample
+    from fastlivo_tpu.ops import earth
+
+    rng = np.random.default_rng(seed)
+    anchor = earth.blh2ecef(np.asarray(anchor_blh))
+    c_ne = earth.cne(earth.ecef2blh(anchor))
+    r_we = Rotation.from_euler("z", yaw_enu_to_world).as_matrix()
+    lv = np.zeros(3) if lever is None else np.asarray(lever)
+
+    out = []
+    for k in range(len(seq.gt_stamps)):
+        t = seq.gt_stamps[k]
+        if rate < 1000 and (k % max(int(round(10.0 / rate)), 1)) != 0:
+            continue
+        antenna_w = seq.gt_pos[k] + seq.gt_rot[k] @ lv
+        enu = r_we.T @ antenna_w + rng.normal(0, noise_m, 3)
+        out.append(
+            GnssSample(
+                time=t_unix0 + float(t),
+                ecef=anchor + c_ne.T @ enu,
+                std_enu=np.full(3, max(noise_m, 0.01)),
+            )
+        )
+    return out

@@ -287,6 +287,19 @@ class LivoPipeline:
             init_count=cfg.imu.init_count,
             zero_velocity_thresh=cfg.imu.zero_velocity_thresh,
         )
+        # GNSS fusion (reference: gnss_en + GNSSProcessing wiring,
+        # laser_mapping.cpp:1059-1069, :616-621).
+        self.gnss = None
+        if cfg.gnss.gnss_en:
+            from fastlivo_tpu.models.gnss import GnssFusion
+
+            self.gnss = GnssFusion(
+                antlever=np.asarray(cfg.gnss.antenna_lever),
+                outlier_gate_m=cfg.gnss.outlier_gate_m,
+                init_window=cfg.gnss.init_window,
+            )
+            if cfg.gnss.rtk_file:
+                self.gnss.load_rtk_file(cfg.gnss.rtk_file)
         self.first_scan = True
         self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
         # Last completed scan's world cloud (the reference's pcl_wait_pub).
@@ -337,9 +350,28 @@ class LivoPipeline:
             self.first_scan = False
             return None
 
+        extra = None
+        if self.gnss is not None:
+            # Linearize the GNSS block at the propagated prior (the
+            # reference re-linearizes each ESKF iteration; a position-only
+            # observation is insensitive to that difference).
+            sp, _ = self._propagate(
+                self.state, scan.imu, scan.t_end, scan.acc_scale
+            )
+            extra = self.gnss.observe(
+                t_abs, np.asarray(sp.rot), np.asarray(sp.pos)
+            )
+
         self.state, self.map, info, (self.world_cloud, self.world_mask) = (
             self._step(
-                self.state, self.map, scan, self.rot_il, self.t_il, self.step_cfg
+                self.state,
+                self.map,
+                scan,
+                self.rot_il,
+                self.t_il,
+                self.step_cfg,
+                extra_hth=None if extra is None else extra[0],
+                extra_hty=None if extra is None else extra[1],
             )
         )
         self._record(t_abs)
