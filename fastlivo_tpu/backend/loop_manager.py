@@ -1,0 +1,131 @@
+"""Back-end manager: keyframing, loop detection, pose-graph correction.
+
+Capability parity with the reference's loop thread + GTSAM wiring
+(reference: src/laser_mapping.cpp — keyframe factor creation
+:1118-1221, the loop-closure worker thread accumulating `sub_frame_num`
+frames into a key cloud and searching STD :1223-1349). The corrected
+trajectory never touches the live filter — loop results only affect the
+pose graph and its exported trajectory, exactly like the reference
+(loop_tum.txt vs tum.txt).
+
+Runs synchronously by default; pass `background=True` to run STD detection
+on a worker thread (the reference's std::thread + condition-variable queue
+becomes a ThreadPoolExecutor with polled futures).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from fastlivo_tpu.backend.pose_graph import PoseGraph
+from fastlivo_tpu.backend.std_loop import StdConfig, StdLoopDetector
+from fastlivo_tpu.utils.config import FastLivoConfig
+
+
+@dataclass
+class LoopEvent:
+    kf_from: int
+    kf_to: int
+    score: float
+    rot: np.ndarray
+    trans: np.ndarray
+
+
+class LoopBackend:
+    def __init__(
+        self,
+        cfg: FastLivoConfig,
+        background: bool = False,
+    ):
+        self.std_cfg = StdConfig.from_params(cfg.loop)
+        self.detector = StdLoopDetector(self.std_cfg)
+        self.graph = PoseGraph()
+        self.sub_frame_num = cfg.loop.sub_frame_num
+        self.trans_thresh = cfg.keyframe.trans_thresh_m
+        self.rot_thresh = cfg.keyframe.rot_thresh_rad
+        self.ds_size = cfg.loop.ds_size
+
+        self._cloud_buf: List[np.ndarray] = []
+        self._std_frame_kf: List[int] = []  # STD frame index -> keyframe idx
+        self._last_kf: int = 0
+        self.loops: List[LoopEvent] = []
+        self._executor = ThreadPoolExecutor(max_workers=1) if background else None
+        self._pending: List[Tuple[Future, int]] = []
+
+    # ------------------------------------------------------------------
+
+    def on_scan(self, rot: np.ndarray, pos: np.ndarray, world_cloud: np.ndarray):
+        """Feed every LIO posterior pose + registered world cloud."""
+        kf = self.graph.maybe_add_keyframe(
+            rot, pos, self.trans_thresh, self.rot_thresh
+        )
+        if kf is not None:
+            self._last_kf = kf
+        self._cloud_buf.append(self._downsample(world_cloud))
+        if len(self._cloud_buf) >= self.sub_frame_num:
+            key_cloud = np.concatenate(self._cloud_buf)
+            self._cloud_buf = []
+            kf_idx = self._last_kf
+            if self._executor is None:
+                self._handle_result(self._detect(key_cloud), kf_idx)
+            else:
+                self._pending.append(
+                    (self._executor.submit(self._detect, key_cloud), kf_idx)
+                )
+        self._poll()
+
+    def _detect(self, key_cloud: np.ndarray):
+        return self.detector.detect(key_cloud)
+
+    def _poll(self):
+        done = [p for p in self._pending if p[0].done()]
+        self._pending = [p for p in self._pending if not p[0].done()]
+        for fut, kf_idx in done:
+            self._handle_result(fut.result(), kf_idx)
+
+    def _handle_result(self, result, kf_idx: int):
+        self._std_frame_kf.append(kf_idx)
+        if result is None:
+            return
+        fid, score, rot, t = result
+        kf_from = self._std_frame_kf[fid]
+        # The STD transform maps current-frame coords to the matched frame's
+        # coords (both world-ish but drift-apart): a relative pose between
+        # the two keyframes' world anchors. Convert to a between-factor:
+        # pose_to (current) should equal T_loop applied to pose_from space.
+        r_i, t_i = self.graph.rots[kf_from], self.graph.trans[kf_from]
+        r_j, t_j = self.graph.rots[kf_idx], self.graph.trans[kf_idx]
+        # Corrected current pose in from-frame's (consistent) world:
+        r_j_corr = rot @ r_j
+        t_j_corr = rot @ t_j + t
+        rel_r = r_i.T @ r_j_corr
+        rel_t = r_i.T @ (t_j_corr - t_i)
+        self.graph.add_loop(kf_from, kf_idx, rel_r, rel_t, weight=score * 20.0)
+        self.loops.append(LoopEvent(kf_from, kf_idx, score, rot, t))
+
+    # ------------------------------------------------------------------
+
+    def finish(self):
+        """Drain pending background detections."""
+        if self._executor is not None:
+            for fut, kf_idx in self._pending:
+                self._handle_result(fut.result(), kf_idx)
+            self._pending = []
+            self._executor.shutdown(wait=True)
+
+    def corrected_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Optimize and return (rots (K,3,3), trans (K,3)) — the
+        loop-corrected keyframe trajectory (the reference's loop_tum.txt)."""
+        return self.graph.optimize()
+
+    def _downsample(self, cloud: np.ndarray) -> np.ndarray:
+        if len(cloud) == 0:
+            return cloud
+        leaf = self.ds_size
+        key = np.floor(cloud / leaf).astype(np.int64)
+        _, idx = np.unique(key, axis=0, return_index=True)
+        return cloud[idx]

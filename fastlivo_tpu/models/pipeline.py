@@ -287,6 +287,14 @@ class LivoPipeline:
             init_count=cfg.imu.init_count,
             zero_velocity_thresh=cfg.imu.zero_velocity_thresh,
         )
+        # Loop closure + pose graph back-end (reference: loop_en wiring +
+        # loop thread, laser_mapping.cpp:1071-1094, :1223-1349).
+        self.loop_backend = None
+        if cfg.loop.loop_en:
+            from fastlivo_tpu.backend.loop_manager import LoopBackend
+
+            self.loop_backend = LoopBackend(cfg, background=False)
+
         # GNSS fusion (reference: gnss_en + GNSSProcessing wiring,
         # laser_mapping.cpp:1059-1069, :616-621).
         self.gnss = None
@@ -374,8 +382,41 @@ class LivoPipeline:
                 extra_hty=None if extra is None else extra[1],
             )
         )
+        if self.loop_backend is not None:
+            wc = np.asarray(self.world_cloud)[np.asarray(self.world_mask)]
+            self.loop_backend.on_scan(
+                np.asarray(self.state.rot), np.asarray(self.state.pos), wc
+            )
         self._record(t_abs)
         return info
+
+    def finish(self, out_dir: Optional[str] = None):
+        """End-of-run outputs (reference: LaserMapping::Finish,
+        laser_mapping.cpp:286-327): TUM trajectory, loop-corrected TUM,
+        map PCD. Returns the corrected keyframe trajectory if a loop
+        backend ran."""
+        corrected = None
+        if self.loop_backend is not None:
+            self.loop_backend.finish()
+            corrected = self.loop_backend.corrected_trajectory()
+        if out_dir is not None:
+            import os
+
+            from fastlivo_tpu.io import export
+            from fastlivo_tpu.ops import so3 as so3_ops
+
+            os.makedirs(out_dir, exist_ok=True)
+            export.write_tum(os.path.join(out_dir, "tum.txt"), self.trajectory)
+            if corrected is not None:
+                rots, trans = corrected
+                traj = [
+                    (float(i), trans[i], np.asarray(so3_ops.rot_to_quat(jnp.asarray(rots[i], jnp.float32))))
+                    for i in range(len(trans))
+                ]
+                export.write_tum(os.path.join(out_dir, "loop_tum.txt"), traj)
+            cloud = export.map_to_cloud(self.map)
+            export.write_pcd(os.path.join(out_dir, "map.pcd"), cloud)
+        return corrected
 
     def process_image(self, scan: ScanInput, img, t_abs: float):
         """Feed one image-bounded measurement group (VIO update at the image
