@@ -125,7 +125,6 @@ class LoopBackend:
     def _downsample(self, cloud: np.ndarray) -> np.ndarray:
         if len(cloud) == 0:
             return cloud
-        leaf = self.ds_size
-        key = np.floor(cloud / leaf).astype(np.int64)
-        _, idx = np.unique(key, axis=0, return_index=True)
-        return cloud[idx]
+        from fastlivo_tpu import native
+
+        return cloud[native.voxel_mask(cloud, self.ds_size)]
