@@ -49,17 +49,20 @@ class Trajectory:
         return (self.yaw_fn(t + h) - self.yaw_fn(t - h)) / (2 * h)
 
 
-def default_trajectory(speed: float = 1.0, yaw_rate: float = 0.3) -> Trajectory:
+def default_trajectory(
+    speed: float = 1.0, yaw_rate: float = 0.3, rest_time: float = 0.5
+) -> Trajectory:
     """Gentle arc with mild vertical oscillation (handheld-like).
 
-    Time is warped through tau(t) = t^2/(t+0.5) so the rig starts at REST
-    (vel(0) = 0) — matching the zero-velocity initialization assumption the
-    reference makes (IMU_Processing.cpp:92-145) and avoiding an unphysical
-    velocity jump at t=0.
+    The rig holds still for `rest_time` (so the zero-velocity static
+    initialization the reference assumes, IMU_Processing.cpp:92-145, has
+    clean samples), then time is warped through tau(s) = s^2/(s+0.5) so
+    motion ramps from zero velocity.
     """
 
     def warp(t):
-        return t * t / (t + 0.5)
+        s = max(t - rest_time, 0.0)
+        return s * s / (s + 0.5)
 
     def pos(t):
         tau = warp(t)

@@ -1,0 +1,158 @@
+"""CLI entry point: run the full LIVO pipeline over a measurement log.
+
+Replaces the reference's ROS node main + launch files
+(reference: src/laserMapping.cpp:15-36, launch/mapping_*.launch): instead
+of `roslaunch fast_livo mapping_avia.launch` + `rosbag play`, run
+
+    python -m fastlivo_tpu.run --config configs/avia_livo.yaml \
+        --log sequence.flvo --out Log/
+
+The runner streams the log through the measurement synchronizer and the
+fused device pipeline, prints per-stage timing at the end, and writes
+tum.txt / loop_tum.txt / map.pcd (and a timing CSV) to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def run_log(
+    log_path: str,
+    cfg,
+    out_dir: Optional[str] = None,
+    max_scans: Optional[int] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    progress: bool = True,
+):
+    """Programmatic runner. Returns the pipeline after the run."""
+    import jax.numpy as jnp
+
+    from fastlivo_tpu.io import logio
+    from fastlivo_tpu.io.sensors import ImageFrame, ImuSample, LidarScan
+    from fastlivo_tpu.io.sync import MeasurementSynchronizer, WindowBuilder
+    from fastlivo_tpu.models.pipeline import LivoPipeline
+    from fastlivo_tpu.utils.timing import StageTimer
+
+    pipe = LivoPipeline(cfg)
+    sync = MeasurementSynchronizer(img_enabled=cfg.vio.img_enable)
+    builder = WindowBuilder(
+        n_pts=cfg.lio.max_points * 2, imu_window=cfg.imu.imu_int_frame
+    )
+    timer = StageTimer()
+    pipe.timer = timer
+
+    n_scans = 0
+    t_start = time.perf_counter()
+    stream = logio.read_log(
+        log_path,
+        blind=cfg.preprocess.blind,
+        max_range=cfg.preprocess.max_range,
+        point_filter_num=cfg.preprocess.point_filter_num,
+    )
+    for rec in stream:
+        if isinstance(rec, ImuSample):
+            sync.push_imu(rec)
+        elif isinstance(rec, LidarScan):
+            sync.push_lidar(rec)
+        elif isinstance(rec, ImageFrame):
+            sync.push_image(rec)
+
+        while True:
+            with timer.stage("sync"):
+                group = sync.next_group()
+            if group is None:
+                break
+            with timer.stage("window_build"):
+                scan_input, t_abs = builder.build(group)
+                scan_input = scan_input._replace(
+                    acc_scale=jnp.float32(pipe.acc_scale)
+                )
+            if group.is_lidar_end:
+                with timer.stage("lio_step"):
+                    info = pipe.process_scan(scan_input, t_abs)
+                timer.tick(t_abs)
+                n_scans += 1
+                if progress and info is not None and n_scans % 50 == 0:
+                    pos = np.asarray(pipe.state.pos)
+                    print(
+                        f"[{n_scans:5d}] t={t_abs:.2f} pos=({pos[0]:+7.2f},"
+                        f"{pos[1]:+7.2f},{pos[2]:+7.2f}) "
+                        f"n_eff={int(info.n_effective)}"
+                    )
+                if (
+                    checkpoint_every
+                    and checkpoint_path
+                    and n_scans % checkpoint_every == 0
+                ):
+                    from fastlivo_tpu.utils import checkpoint as ckpt
+
+                    ckpt.save_pipeline(
+                        checkpoint_path, pipe, meta={"n_scans": n_scans}
+                    )
+            else:
+                with timer.stage("vio_step"):
+                    pipe.process_image(
+                        scan_input, group.measures[-1].img.img, t_abs
+                    )
+        if max_scans is not None and n_scans >= max_scans:
+            break
+
+    wall = time.perf_counter() - t_start
+    if progress:
+        print(
+            f"processed {n_scans} scans in {wall:.1f}s "
+            f"({wall / max(n_scans, 1) * 1e3:.1f} ms/scan incl. host)"
+        )
+        print(timer.report())
+    pipe.finish(out_dir)
+    if out_dir is not None:
+        import os
+
+        timer.write_csv(os.path.join(out_dir, "time_log.csv"))
+    return pipe
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--log", required=True, help="FLVO measurement log")
+    parser.add_argument("--config", default=None, help="reference-format YAML")
+    parser.add_argument("--out", default=None, help="output directory")
+    parser.add_argument("--max-scans", type=int, default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument(
+        "--set", action="append", default=[],
+        help="override, e.g. --set vio.img_enable=0",
+    )
+    args = parser.parse_args(argv)
+
+    from fastlivo_tpu.utils.config import load_config
+
+    overrides = {}
+    for s in args.set:
+        k, v = s.split("=", 1)
+        try:
+            v = eval(v, {}, {})  # noqa: S307 - literals only from the CLI
+        except Exception:
+            pass
+        overrides[k] = v
+    cfg = load_config(args.config, overrides)
+    run_log(
+        args.log,
+        cfg,
+        out_dir=args.out,
+        max_scans=args.max_scans,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint,
+    )
+
+
+if __name__ == "__main__":
+    main()
