@@ -69,6 +69,49 @@ def write_pcd(
             np.savetxt(f, arr, fmt="%.6f")
 
 
+def colorize_cloud(
+    pts_world: np.ndarray,
+    img: np.ndarray,
+    rcw: np.ndarray,
+    pcw: np.ndarray,
+    cam,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-point intensity/color by reprojection into the current frame
+    (parity with publish_frame_world_rgb / RGBpointBodyToWorld,
+    laser_mapping.cpp:1351-1423 which colors the world cloud through the
+    live camera). Returns (values (N,) or (N,3), visible_mask (N,))."""
+    import jax.numpy as jnp
+
+    from fastlivo_tpu.ops import image as img_ops
+
+    p_c = pts_world @ rcw.T + pcw
+    uv = np.asarray(cam.project(jnp.asarray(p_c, jnp.float32)))
+    vis = (p_c[:, 2] > 0.1) & (
+        (uv[:, 0] >= 1)
+        & (uv[:, 0] < cam.width - 1)
+        & (uv[:, 1] >= 1)
+        & (uv[:, 1] < cam.height - 1)
+    )
+    if img.ndim == 2:
+        vals = np.asarray(
+            img_ops.bilinear(jnp.asarray(img, jnp.float32), jnp.asarray(uv, jnp.float32))
+        )
+    else:
+        vals = np.stack(
+            [
+                np.asarray(
+                    img_ops.bilinear(
+                        jnp.asarray(img[..., c], jnp.float32),
+                        jnp.asarray(uv, jnp.float32),
+                    )
+                )
+                for c in range(img.shape[-1])
+            ],
+            axis=-1,
+        )
+    return vals, vis
+
+
 def map_to_cloud(lidar_map, max_points: int | None = None) -> np.ndarray:
     """Extract all valid points from a VoxelHashMap arena as (N, 3)."""
     counts = np.asarray(lidar_map.counts)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fastlivo_tpu.maps import voxel_map as vm
+from fastlivo_tpu.models import ieskf
 from fastlivo_tpu.ops import linalg, plane, so3
 from fastlivo_tpu.state import DIM_STATE, NavState, boxminus, boxplus
 
@@ -222,11 +223,9 @@ def lio_update(
         # MAP iterated update with prior pull (laser_mapping.cpp:188-204):
         #   S = HTH + P^-1,  vec = state_prop (-) state
         #   dx = vec + S^-1 (HTy - HTH vec)      (== K_1 HTy + vec - K_1 HTH vec)
-        s_mat = hth + p_inv
         cur = NavState(c.rot, c.pos, c.vel, c.bg, c.ba, c.grav, state_prop.cov)
         vec = boxminus(state_prop, cur)
-        dx = vec + linalg.psd_solve(s_mat, hty - hth @ vec)
-        g_mat = linalg.psd_solve(s_mat, hth)
+        dx, g_mat = ieskf.map_step(p_inv, hth, hty, vec)
 
         new = boxplus(cur, dx)
         rot_add = jnp.linalg.norm(dx[0:3])
@@ -283,8 +282,7 @@ def lio_update(
     c = jax.lax.while_loop(cond_fn, body_fn, init)
 
     # Posterior covariance P <- (I - G) P (laser_mapping.cpp:228-231).
-    cov = (jnp.eye(DIM_STATE, dtype=dtype) - c.g_mat) @ state_prop.cov
-    cov = 0.5 * (cov + cov.T)
+    cov = ieskf.posterior_cov(state_prop.cov, c.g_mat)
 
     posterior = NavState(c.rot, c.pos, c.vel, c.bg, c.ba, c.grav, cov)
     info = LioInfo(

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from fastlivo_tpu.maps import visual_map as vmap_mod
 from fastlivo_tpu.ops import image as img_ops
+from fastlivo_tpu.models import ieskf
 from fastlivo_tpu.ops import linalg, so3
 from fastlivo_tpu.ops.camera import Pinhole
 from fastlivo_tpu.state import DIM_STATE, NavState, boxminus, boxplus
@@ -399,11 +400,9 @@ def photometric_update(
             hty6 = -(h.T @ res)
             hth = jnp.zeros((DIM_STATE, DIM_STATE), dtype).at[0:6, 0:6].set(hth6)
             hty = jnp.zeros((DIM_STATE,), dtype).at[0:6].set(hty6)
-            s_mat = hth + p_inv
             cur = NavState(c.rot, c.pos, c.vel, c.bg, c.ba, c.grav, state_prop.cov)
             vec = boxminus(state_prop, cur)
-            dx = vec + linalg.psd_solve(s_mat, hty - hth @ vec)
-            g_new = linalg.psd_solve(s_mat, hth)
+            dx, g_new = ieskf.map_step(p_inv, hth, hty, vec)
             new = boxplus(cur, dx)
 
             converged = (jnp.linalg.norm(dx[0:3]) * _R2D < cfg.converge_rot_deg) & (

@@ -1,3 +1,7 @@
+from fastlivo_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    make_global_mesh,
+)
 from fastlivo_tpu.parallel.sharded import (  # noqa: F401
     POINTS_AXIS,
     make_mesh,
