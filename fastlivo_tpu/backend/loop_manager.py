@@ -58,10 +58,13 @@ class LoopBackend:
 
     # ------------------------------------------------------------------
 
-    def on_scan(self, rot: np.ndarray, pos: np.ndarray, world_cloud: np.ndarray):
+    def on_scan(
+        self, rot: np.ndarray, pos: np.ndarray, world_cloud: np.ndarray,
+        stamp: float = 0.0,
+    ):
         """Feed every LIO posterior pose + registered world cloud."""
         kf = self.graph.maybe_add_keyframe(
-            rot, pos, self.trans_thresh, self.rot_thresh
+            rot, pos, self.trans_thresh, self.rot_thresh, stamp=stamp
         )
         if kf is not None:
             self._last_kf = kf
@@ -104,7 +107,10 @@ class LoopBackend:
         t_j_corr = rot @ t_j + t
         rel_r = r_i.T @ r_j_corr
         rel_t = r_i.T @ (t_j_corr - t_i)
-        self.graph.add_loop(kf_from, kf_idx, rel_r, rel_t, weight=score * 20.0)
+        # Loop transforms are decimeter-accurate (corner-resolution bound);
+        # weight them like ~0.3 m sigma so they correct real drift without
+        # overpowering a consistent odometry chain.
+        self.graph.add_loop(kf_from, kf_idx, rel_r, rel_t, weight=score * 3.0)
         self.loops.append(LoopEvent(kf_from, kf_idx, score, rot, t))
 
     # ------------------------------------------------------------------

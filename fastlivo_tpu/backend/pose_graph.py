@@ -46,6 +46,7 @@ class BetweenFactor:
 class PoseGraph:
     rots: List[np.ndarray] = field(default_factory=list)
     trans: List[np.ndarray] = field(default_factory=list)
+    stamps: List[float] = field(default_factory=list)
     odo_factors: List[BetweenFactor] = field(default_factory=list)
     loop_factors: List[BetweenFactor] = field(default_factory=list)
 
@@ -58,6 +59,7 @@ class PoseGraph:
         t: np.ndarray,
         trans_thresh: float = 1.0,
         rot_thresh: float = 0.2,
+        stamp: float = 0.0,
     ) -> Optional[int]:
         """Add a keyframe if moved enough since the last one. Returns the
         new keyframe index or None."""
@@ -70,6 +72,7 @@ class PoseGraph:
         idx = len(self.rots)
         self.rots.append(np.asarray(rot, np.float64).copy())
         self.trans.append(np.asarray(t, np.float64).copy())
+        self.stamps.append(float(stamp))
         if idx > 0:
             pr, pt = self.rots[idx - 1], self.trans[idx - 1]
             rel_r = pr.T @ self.rots[idx]
@@ -87,16 +90,51 @@ class PoseGraph:
 
     # ----- batch solve -----
 
-    def optimize(self, iters: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    def optimize(
+        self, iters: int = 10, huber_delta: float = 0.1
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Gauss-Newton over all poses (pose 0 fixed by a strong prior).
+
+        Loop factors get a Huber robust kernel (IRLS) plus an outlier
+        reject-and-resolve pass: loops whose residual at the optimum is
+        grossly inconsistent with the consensus are dropped and the graph
+        re-solved. A single aliased match must not warp the whole chain —
+        the reference leans on its visual match-ratio gate for this
+        (laser_mapping.cpp:1314-1322); consensus gating is strictly
+        stronger and needs no camera.
+
         Returns (rots (K,3,3), trans (K,3))."""
+        k = len(self.rots)
+        if k <= 1 or not (self.odo_factors or self.loop_factors):
+            return np.asarray(self.rots), np.asarray(self.trans)
+
+        # Consensus gate BEFORE solving, at the odometry poses: odometry is
+        # locally consistent, so each loop's initial residual measures
+        # (accumulated drift + loop-transform error). Genuine corrections
+        # cluster (drift varies smoothly); a gross outlier stands out from
+        # the median. Gating at the optimum would not work — the solver
+        # bends the chain to satisfy the outlier.
+        loops = list(self.loop_factors)
+        if len(loops) >= 3:
+            res = []
+            for f in loops:
+                rr = _log(f.rot.T @ self.rots[f.i].T @ self.rots[f.j])
+                rt = self.rots[f.i].T @ (self.trans[f.j] - self.trans[f.i]) - f.trans
+                res.append(np.linalg.norm(np.concatenate([rr, rt])))
+            res = np.asarray(res)
+            thresh = max(4.0 * np.median(res), 2.0 * huber_delta)
+            loops = [f for f, r in zip(loops, res) if r <= thresh]
+
+        rots, trans = self._solve(loops, iters, huber_delta)
+        return np.asarray(rots), np.asarray(trans)
+
+    def _solve(self, loop_factors, iters: int, huber_delta: float):
         k = len(self.rots)
         rots = [r.copy() for r in self.rots]
         trans = [t.copy() for t in self.trans]
-        if k <= 1 or not (self.odo_factors or self.loop_factors):
-            return np.asarray(rots), np.asarray(trans)
-
-        factors = self.odo_factors + self.loop_factors
+        factors = [(f, False) for f in self.odo_factors] + [
+            (f, True) for f in loop_factors
+        ]
         for _ in range(iters):
             dim = 6 * k
             h = np.zeros((dim, dim))
@@ -104,13 +142,17 @@ class PoseGraph:
             # strong prior on pose 0
             h[0:6, 0:6] += np.eye(6) * 1e8
 
-            for f in factors:
+            for f, is_loop in factors:
                 ri, ti = rots[f.i], trans[f.i]
                 rj, tj = rots[f.j], trans[f.j]
                 # residuals: r_rot = Log(R_ij^T Ri^T Rj), r_t = Ri^T(tj-ti) - t_ij
                 r_rot = _log(f.rot.T @ ri.T @ rj)
                 r_tr = ri.T @ (tj - ti) - f.trans
-                r = np.concatenate([r_rot, r_tr]) * f.weight
+                w = f.weight
+                if is_loop:
+                    rn = np.linalg.norm(np.concatenate([r_rot, r_tr]))
+                    w = w * min(1.0, huber_delta / max(rn, 1e-12)) ** 0.5
+                r = np.concatenate([r_rot, r_tr]) * w
 
                 # Jacobians (right perturbation R <- R Exp(dw), t <- t + dt),
                 # small-angle approximation of the Log-map derivative.
@@ -126,8 +168,8 @@ class PoseGraph:
                 j_i[3:6, 3:6] = -ri.T
                 j_j[3:6, 3:6] = ri.T
 
-                j_i *= f.weight
-                j_j *= f.weight
+                j_i *= w
+                j_j *= w
                 si, sj = 6 * f.i, 6 * f.j
                 h[si : si + 6, si : si + 6] += j_i.T @ j_i
                 h[sj : sj + 6, sj : sj + 6] += j_j.T @ j_j
@@ -142,7 +184,7 @@ class PoseGraph:
                 trans[i] = trans[i] + dx[6 * i + 3 : 6 * i + 6]
             if np.linalg.norm(dx) < 1e-8:
                 break
-        return np.asarray(rots), np.asarray(trans)
+        return rots, trans
 
 
 def _hat(v: np.ndarray) -> np.ndarray:

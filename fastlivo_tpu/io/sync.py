@@ -53,8 +53,12 @@ class MeasurementSynchronizer:
     """Buffers sensors and emits groups; replaces the mutex-guarded ROS
     buffers + sync_packages loop."""
 
-    def __init__(self, img_enabled: bool = False):
+    def __init__(self, img_enabled: bool = False, img_delta_time: float = 0.0):
+        """img_delta_time: camera-IMU time offset added to image stamps
+        (the reference's delta_time shift in img_cbk,
+        laser_mapping.cpp:900-928)."""
         self.img_enabled = img_enabled
+        self.img_delta_time = img_delta_time
         self.lidar_buffer: deque = deque()
         self.imu_buffer: deque = deque()
         self.img_buffer: deque = deque()
@@ -77,6 +81,10 @@ class MeasurementSynchronizer:
 
     def push_image(self, frame: ImageFrame):
         if self.img_enabled:
+            if self.img_delta_time:
+                frame = ImageFrame(
+                    stamp=frame.stamp + self.img_delta_time, img=frame.img
+                )
             self.img_buffer.append(frame)
 
     def _pop_imu_until(self, t: float) -> List[ImuSample]:

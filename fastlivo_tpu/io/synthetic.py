@@ -145,6 +145,7 @@ def generate(
     scan_rate: float = 10.0,
     pts_per_scan: int = 20000,
     seed: int = 0,
+    time_buckets: int = 32,
     imu_noise_gyr: float = 0.0,
     imu_noise_acc: float = 0.0,
     gyro_bias: np.ndarray | None = None,
@@ -195,14 +196,14 @@ def generate(
         world_pts = _sample_surfaces(rng, pts_per_scan, world_half, boxes)
         world_pts = world_pts[rng.permutation(len(world_pts))]
         body = np.empty_like(world_pts)
-        # vectorized over unique pose sub-steps (poses vary smoothly; use
-        # 32 time buckets per sweep — ample at handheld dynamics).
-        buckets = np.minimum((offs / scan_period * 32).astype(int), 31)
-        for b in range(32):
+        # vectorized over unique pose sub-steps (poses vary smoothly).
+        nb = time_buckets
+        buckets = np.minimum((offs / scan_period * nb).astype(int), nb - 1)
+        for b in range(nb):
             sel = buckets == b
             if not sel.any():
                 continue
-            tb = t_beg + (b + 0.5) / 32 * scan_period
+            tb = t_beg + (b + 0.5) / nb * scan_period
             rot, pos = traj.pose(tb)
             body[sel] = (world_pts[sel] - pos) @ rot  # R^T (p - t)
         scans.append(
@@ -256,6 +257,153 @@ def generate(
         gt_pos=np.asarray(gt_pos),
         world=_sample_surfaces(rng, 60000, world_half, boxes),
         frames=frames,
+    )
+
+
+def street_trajectory(
+    out_dist: float = 30.0, speed: float = 2.0, rest_time: float = 0.5
+) -> Trajectory:
+    """Out-and-back along a street: drive +x for out_dist, U-turn, return.
+    Ends near the start — the loop-closure scenario (UrbanNav-style)."""
+    t_out = out_dist / speed
+    t_turn = 3.0
+
+    def warp(t):
+        s = max(t - rest_time, 0.0)
+        return s * s / (s + 0.5)
+
+    def pos(t):
+        s = warp(t)
+        if s < t_out:
+            return np.array([speed * s, 0.0, 0.0])
+        if s < t_out + t_turn:
+            a = (s - t_out) / t_turn * np.pi  # half-circle of radius r
+            r = 2.0
+            return np.array(
+                [out_dist + r * np.sin(a), r * (1 - np.cos(a)), 0.0]
+            )
+        return np.array(
+            [out_dist - speed * (s - t_out - t_turn), 2.0 * 2, 0.0]
+        )
+
+    def yaw(t):
+        s = warp(t)
+        if s < t_out:
+            return 0.0
+        if s < t_out + t_turn:
+            return (s - t_out) / t_turn * np.pi
+        return np.pi
+
+    return Trajectory(pos_fn=pos, yaw_fn=yaw)
+
+
+def street_surfaces(rng, n, x_extent=40.0, layout_seed=123):
+    """Ground + buildings with dense corner edges lining a street."""
+    pts = [
+        np.stack(
+            [
+                rng.uniform(-10, x_extent + 10, n // 3),
+                rng.uniform(-12, 16, n // 3),
+                np.full(n // 3, -1.5),
+            ],
+            1,
+        )
+    ]
+    rng2 = np.random.default_rng(layout_seed)
+    n_b = 8
+    for k in range(n_b):
+        cx = rng2.uniform(0, x_extent)
+        cy = rng2.choice([-7.0, 11.0]) + rng2.uniform(-1, 1)
+        w, d, h = rng2.uniform(3, 6, 3)
+        per = n // (3 * n_b)
+        for axis, val in ((0, -w / 2), (0, w / 2), (1, -d / 2), (1, d / 2)):
+            u = rng.uniform(0, 1, (per, 2))
+            face = np.zeros((per, 3))
+            face[:, axis] = val
+            face[:, 1 - axis] = (u[:, 0] - 0.5) * (d if axis == 0 else w)
+            face[:, 2] = u[:, 1] * h - 1.5
+            face[:, 0] += cx
+            face[:, 1] += cy
+            pts.append(face)
+        for ex, ey in ((-w / 2, -d / 2), (-w / 2, d / 2), (w / 2, -d / 2), (w / 2, d / 2)):
+            z = rng.uniform(-1.5, h - 1.5, per // 3)
+            edge = np.stack(
+                [np.full_like(z, cx + ex), np.full_like(z, cy + ey), z], 1
+            )
+            edge[:, :2] += rng.normal(0, 0.02, (len(z), 2))
+            pts.append(edge)
+    out = np.concatenate(pts).astype(np.float32)
+    return out
+
+
+def generate_street(
+    duration: float = 36.0,
+    imu_rate: float = 200.0,
+    scan_rate: float = 10.0,
+    pts_per_scan: int = 10000,
+    seed: int = 0,
+    max_range: float = 30.0,
+    gyro_bias: np.ndarray | None = None,
+    imu_noise_gyr: float = 0.0,
+) -> SyntheticSequence:
+    """Out-and-back street sequence for loop-closure testing: scans are
+    range-limited samples of a large structured world."""
+    rng = np.random.default_rng(seed)
+    traj = street_trajectory()
+    grav = np.array([0.0, 0.0, -GRAVITY_MS2])
+
+    bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
+    imu = []
+    for t in np.arange(0.0, duration + 1e-9, 1.0 / imu_rate):
+        rot, _ = traj.pose(t)
+        w_body = np.array([0.0, 0.0, traj.yaw_rate(t)]) + bg
+        if imu_noise_gyr:
+            w_body = w_body + rng.normal(0, imu_noise_gyr, 3)
+        a_body = rot.T @ (traj.acc_world(t) - grav)
+        imu.append(ImuSample(stamp=float(t), gyr=w_body, acc=a_body))
+
+    scans = []
+    gt_stamps, gt_rot, gt_pos = [], [], []
+    period = 1.0 / scan_rate
+    for k in range(int(duration * scan_rate)):
+        t_beg = k * period
+        offs = np.sort(rng.uniform(0.0, period, pts_per_scan))
+        # oversample the world, keep points within range of the mid-sweep pose
+        world = street_surfaces(rng, pts_per_scan * 4, layout_seed=123)
+        _, p_mid = traj.pose(t_beg + period / 2)
+        near = np.linalg.norm(world[:, :2] - p_mid[:2], axis=1) < max_range
+        world = world[near]
+        if len(world) < pts_per_scan:
+            world = np.concatenate([world, world[: pts_per_scan - len(world)]])
+        world = world[rng.permutation(len(world))[:pts_per_scan]]
+        body = np.empty_like(world)
+        buckets = np.minimum((offs / period * 16).astype(int), 15)
+        for b in range(16):
+            sel = buckets == b
+            if not sel.any():
+                continue
+            rot, pos = traj.pose(t_beg + (b + 0.5) / 16 * period)
+            body[sel] = (world[sel] - pos) @ rot
+        scans.append(
+            LidarScan(
+                stamp=float(t_beg),
+                pts=body.astype(np.float32),
+                t_offs_ms=(offs * 1e3).astype(np.float32),
+            )
+        )
+        t_end = t_beg + float(offs[-1])
+        r_e, p_e = traj.pose(t_end)
+        gt_stamps.append(t_end)
+        gt_rot.append(r_e)
+        gt_pos.append(p_e)
+
+    return SyntheticSequence(
+        imu=imu,
+        scans=scans,
+        gt_stamps=np.asarray(gt_stamps),
+        gt_rot=np.asarray(gt_rot),
+        gt_pos=np.asarray(gt_pos),
+        world=street_surfaces(rng, 60000),
     )
 
 

@@ -310,6 +310,12 @@ class LivoPipeline:
                 self.gnss.load_rtk_file(cfg.gnss.rtk_file)
         self.first_scan = True
         self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
+        # Failure detection (SURVEY.md section 5: the reference only has
+        # timestamp-loopback reset + the disabled degeneracy guard; here
+        # update health is monitored and anomalous updates are rejected).
+        self.health = {"rejected": 0, "low_constraint": 0, "resets": 0}
+        self._min_effective = 50
+        self._max_jump_m = 1.0
         # Last completed scan's world cloud (the reference's pcl_wait_pub).
         self.world_cloud = jnp.zeros((self.step_cfg.ds_capacity, 3), dtype)
         self.world_mask = jnp.zeros((self.step_cfg.ds_capacity,), bool)
@@ -358,6 +364,7 @@ class LivoPipeline:
             self.first_scan = False
             return None
 
+        prev_state = self.state
         extra = None
         if self.gnss is not None:
             # Linearize the GNSS block at the propagated prior (the
@@ -382,10 +389,30 @@ class LivoPipeline:
                 extra_hty=None if extra is None else extra[1],
             )
         )
+        # --- update health gate: a diverged or unconstrained update must
+        # not corrupt the filter. Reject it and fall back to propagation
+        # (the reference's equivalents: the disabled degeneracy guard
+        # laser_mapping.cpp:196-202 and VIO's rollback-on-error-increase).
+        n_eff = int(info.n_effective)
+        jump = float(jnp.linalg.norm(self.state.pos - prev_state.pos))
+        finite = bool(jnp.all(jnp.isfinite(self.state.pos))) and bool(
+            jnp.all(jnp.isfinite(self.state.cov))
+        )
+        if n_eff < self._min_effective:
+            self.health["low_constraint"] += 1
+        if not finite or jump > self._max_jump_m:
+            self.health["rejected"] += 1
+            prop, _ = self._propagate(
+                prev_state, scan.imu, scan.t_end, scan.acc_scale
+            )
+            self.state = prop
+            self.health["resets"] += 1
+
         if self.loop_backend is not None:
             wc = np.asarray(self.world_cloud)[np.asarray(self.world_mask)]
             self.loop_backend.on_scan(
-                np.asarray(self.state.rot), np.asarray(self.state.pos), wc
+                np.asarray(self.state.rot), np.asarray(self.state.pos), wc,
+                stamp=t_abs,
             )
         self._record(t_abs)
         return info
@@ -409,8 +436,13 @@ class LivoPipeline:
             export.write_tum(os.path.join(out_dir, "tum.txt"), self.trajectory)
             if corrected is not None:
                 rots, trans = corrected
+                stamps = self.loop_backend.graph.stamps
                 traj = [
-                    (float(i), trans[i], np.asarray(so3_ops.rot_to_quat(jnp.asarray(rots[i], jnp.float32))))
+                    (
+                        stamps[i] if i < len(stamps) else float(i),
+                        trans[i],
+                        np.asarray(so3_ops.rot_to_quat(jnp.asarray(rots[i], jnp.float32))),
+                    )
                     for i in range(len(trans))
                 ]
                 export.write_tum(os.path.join(out_dir, "loop_tum.txt"), traj)

@@ -41,7 +41,9 @@ def run_log(
     from fastlivo_tpu.utils.timing import StageTimer
 
     pipe = LivoPipeline(cfg)
-    sync = MeasurementSynchronizer(img_enabled=cfg.vio.img_enable)
+    sync = MeasurementSynchronizer(
+        img_enabled=cfg.vio.img_enable, img_delta_time=cfg.vio.delta_time
+    )
     builder = WindowBuilder(
         n_pts=cfg.lio.max_points * 2, imu_window=cfg.imu.imu_int_frame
     )

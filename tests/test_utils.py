@@ -82,3 +82,47 @@ def test_reference_yaml_mapping():
     assert cfg.camera.fx == 123.0
     assert cfg.camera.rcl == (0, 1, 0, -1, 0, 0, 0, 0, 1)
     assert cfg.gnss.gnss_en is True
+
+
+def test_health_gate_rejects_divergence(rng):
+    """A pathological update (empty map -> then absurd innovation via a
+    corrupted scan) must not produce a >1 m jump; the health gate falls
+    back to propagation."""
+    import jax.numpy as jnp
+    from fastlivo_tpu.models.pipeline import LivoPipeline, ScanInput
+    from fastlivo_tpu.models.imu import ImuWindow
+
+    cfg = FastLivoConfig()
+    cfg.lio.max_points = 512
+    cfg.map.capacity = 1 << 10
+    cfg.imu.imu_int_frame = 8
+    pipe = LivoPipeline(cfg)
+    pipe.initializer.done = True
+    pipe.state = pipe.initializer.initial_state()
+
+    def make_scan(pts):
+        n = len(pts)
+        return ScanInput(
+            pts=jnp.asarray(pts, jnp.float32),
+            t_offs=jnp.asarray(np.linspace(0, 0.09, n), jnp.float32),
+            mask=jnp.ones(n, bool),
+            imu=ImuWindow(
+                stamps=jnp.asarray(np.linspace(0, 0.1, 8), jnp.float32),
+                gyr=jnp.zeros((8, 3), jnp.float32),
+                acc=jnp.tile(jnp.asarray([0, 0, 9.81], jnp.float32), (8, 1)),
+                mask=jnp.ones(8, bool),
+            ),
+            t_end=jnp.float32(0.1),
+            acc_scale=jnp.float32(1.0),
+        )
+
+    room = rng.uniform(-4, 4, (512, 3)).astype(np.float32)
+    room[:, 2] = -1.2
+    pipe.process_scan(make_scan(room), 0.1)  # bootstrap
+    pipe.process_scan(make_scan(room), 0.2)  # normal update
+    p_before = np.asarray(pipe.state.pos).copy()
+    # corrupted scan: all points shifted 5 m -> would yield a huge jump
+    pipe.process_scan(make_scan(room + np.float32([5.0, 0, 0])), 0.3)
+    jump = np.linalg.norm(np.asarray(pipe.state.pos) - p_before)
+    assert jump < 1.5, jump
+    assert pipe.health["rejected"] >= 1 or jump < 1.0
