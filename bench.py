@@ -107,12 +107,12 @@ def main():
     scans = [make_scan(k) for k in range(n_warm + n_meas)]
     n_eff_total = 0
     for k in range(n_warm):
-        state, m, info, _ = step(state, m, scans[k], i3, z3, cfg)
+        state, m, info, _, _ = step(state, m, scans[k], i3, z3, cfg)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        state, m, info, _ = step(state, m, scans[k], i3, z3, cfg)
+        state, m, info, _, _ = step(state, m, scans[k], i3, z3, cfg)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 

@@ -27,6 +27,7 @@ from fastlivo_tpu.maps import voxel_map as vm
 from fastlivo_tpu.models import imu as imu_mod
 from fastlivo_tpu.models import lio
 from fastlivo_tpu.models import vio as vio_mod
+from fastlivo_tpu.ops import so3
 from fastlivo_tpu.ops import voxelize
 from fastlivo_tpu.ops.camera import Pinhole
 from fastlivo_tpu.state import NavState
@@ -191,7 +192,35 @@ def lio_scan_step(
 
     # World cloud for the next VIO frames (the reference's pcl_wait_pub,
     # laser_mapping.cpp:270-274).
-    return posterior, lidar_map, info, (p_w, ds_mask)
+    return posterior, lidar_map, info, (p_w, ds_mask), step_summary(state, posterior, info)
+
+
+def step_summary(state_in: NavState, state_out: NavState, info) -> jnp.ndarray:
+    """Pack everything the host loop reads per scan into ONE small vector:
+    [pos(3), quat wxyz(4), n_eff, jump_m, finite, res_mean] — a single
+    device->host fetch instead of six (each fetch is a full round trip,
+    which dominates when the device is remote)."""
+    from fastlivo_tpu.ops import so3 as so3_ops
+
+    q = so3_ops.rot_to_quat(state_out.rot)
+    jump = jnp.linalg.norm(state_out.pos - state_in.pos)
+    finite = (
+        jnp.all(jnp.isfinite(state_out.pos)) & jnp.all(jnp.isfinite(state_out.cov))
+    ).astype(state_out.pos.dtype)
+    return jnp.concatenate(
+        [
+            state_out.pos,
+            q,
+            jnp.stack(
+                [
+                    info.n_effective.astype(state_out.pos.dtype),
+                    jump,
+                    finite,
+                    info.res_mean,
+                ]
+            ),
+        ]
+    )
 
 
 def vio_scan_step(
@@ -377,27 +406,31 @@ class LivoPipeline:
                 t_abs, np.asarray(sp.rot), np.asarray(sp.pos)
             )
 
-        self.state, self.map, info, (self.world_cloud, self.world_mask) = (
-            self._step(
-                self.state,
-                self.map,
-                scan,
-                self.rot_il,
-                self.t_il,
-                self.step_cfg,
-                extra_hth=None if extra is None else extra[0],
-                extra_hty=None if extra is None else extra[1],
-            )
+        (
+            self.state,
+            self.map,
+            info,
+            (self.world_cloud, self.world_mask),
+            summary,
+        ) = self._step(
+            self.state,
+            self.map,
+            scan,
+            self.rot_il,
+            self.t_il,
+            self.step_cfg,
+            extra_hth=None if extra is None else extra[0],
+            extra_hty=None if extra is None else extra[1],
         )
+        # One device->host fetch for everything the host loop needs.
+        s = np.asarray(summary)
+        pos, quat = s[0:3], s[3:7]
+        n_eff, jump, finite = int(s[7]), float(s[8]), bool(s[9] > 0.5)
+
         # --- update health gate: a diverged or unconstrained update must
         # not corrupt the filter. Reject it and fall back to propagation
         # (the reference's equivalents: the disabled degeneracy guard
         # laser_mapping.cpp:196-202 and VIO's rollback-on-error-increase).
-        n_eff = int(info.n_effective)
-        jump = float(jnp.linalg.norm(self.state.pos - prev_state.pos))
-        finite = bool(jnp.all(jnp.isfinite(self.state.pos))) and bool(
-            jnp.all(jnp.isfinite(self.state.cov))
-        )
         if n_eff < self._min_effective:
             self.health["low_constraint"] += 1
         if not finite or jump > self._max_jump_m:
@@ -407,14 +440,16 @@ class LivoPipeline:
             )
             self.state = prop
             self.health["resets"] += 1
+            q = np.asarray(so3.rot_to_quat(self.state.rot))
+            pos = np.asarray(self.state.pos)
+            quat = q
 
         if self.loop_backend is not None:
             wc = np.asarray(self.world_cloud)[np.asarray(self.world_mask)]
             self.loop_backend.on_scan(
-                np.asarray(self.state.rot), np.asarray(self.state.pos), wc,
-                stamp=t_abs,
+                np.asarray(self.state.rot), pos, wc, stamp=t_abs
             )
-        self._record(t_abs)
+        self.trajectory.append((t_abs, pos, quat))
         return info
 
     def finish(self, out_dir: Optional[str] = None):

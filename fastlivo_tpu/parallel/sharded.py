@@ -94,6 +94,7 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
             map_specs,
             info_specs,
             (P(POINTS_AXIS), P(POINTS_AXIS)),  # world cloud stays sharded
+            P(),  # packed host summary (replicated)
         ),
         check_vma=False,
     )

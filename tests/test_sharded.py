@@ -59,13 +59,13 @@ def test_sharded_matches_single_device(rng):
 
     # Single device.
     single = jax.jit(pl_mod.lio_scan_step, static_argnames=("cfg", "axis_name"))
-    s1, m1, info1, _ = single(state, m0, scan, I3, Z3, CFG)
+    s1, m1, info1, _, _ = single(state, m0, scan, I3, Z3, CFG)
 
     # 8-device mesh.
     mesh = parallel.make_mesh(8)
     step = parallel.make_sharded_lio_step(mesh, CFG)
     sharded_scan = parallel.shard_scan(scan, mesh)
-    s8, m8, info8, _ = step(state, m0, sharded_scan, I3, Z3)
+    s8, m8, info8, _, _ = step(state, m0, sharded_scan, I3, Z3)
 
     assert int(info1.n_effective) > 200
     assert int(info8.n_effective) == int(info1.n_effective)
@@ -83,5 +83,5 @@ def test_sharded_runs_on_subset_mesh(rng):
     m0 = jax.jit(pl_mod.bootstrap_map, static_argnames="cfg")(
         m0, scan, state, I3, Z3, CFG
     )
-    s, m, info, _ = step(state, m0, parallel.shard_scan(scan, mesh), I3, Z3)
+    s, m, info, _, _ = step(state, m0, parallel.shard_scan(scan, mesh), I3, Z3)
     assert bool(jnp.all(jnp.isfinite(s.pos)))
