@@ -120,6 +120,11 @@ def main():
     # Registered points/sec: downsampled point budget pushed through the
     # full kNN/plane/Jacobian/solve chain per scan.
     pts_per_sec = cfg.ds_capacity / per_scan
+    # IESKF innovation nnz/s (BASELINE.json north-star): each effective
+    # point contributes a 1x6 block row to H (6 nnz), assembled every
+    # filter iteration.
+    iters = max(int(info.iterations), 1)
+    nnz_per_sec = int(info.n_effective) * 6 * iters / per_scan
 
     print(
         json.dumps(
@@ -129,6 +134,7 @@ def main():
                 "unit": "points/s",
                 "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 3),
                 "per_scan_ms": round(per_scan * 1e3, 3),
+                "ieskf_innovation_nnz_per_sec": round(nnz_per_sec, 1),
                 "n_effective_last": int(info.n_effective),
                 "platform": jax.devices()[0].platform,
             }

@@ -29,6 +29,7 @@ def run_log(
     max_scans: Optional[int] = None,
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
     progress: bool = True,
 ):
     """Programmatic runner. Returns the pipeline after the run."""
@@ -41,6 +42,15 @@ def run_log(
     from fastlivo_tpu.utils.timing import StageTimer
 
     pipe = LivoPipeline(cfg)
+    if resume_from is not None:
+        from fastlivo_tpu.utils import checkpoint as ckpt
+
+        meta = ckpt.load_pipeline(resume_from, pipe)
+        skip_scans = int(meta.get("n_scans", 0))
+        if progress:
+            print(f"resumed from {resume_from} at scan {skip_scans}")
+    else:
+        skip_scans = 0
     sync = MeasurementSynchronizer(
         img_enabled=cfg.vio.img_enable, img_delta_time=cfg.vio.delta_time
     )
@@ -62,6 +72,22 @@ def run_log(
         if isinstance(rec, ImuSample):
             sync.push_imu(rec)
         elif isinstance(rec, LidarScan):
+            if cfg.preprocess.feature_extract_en:
+                # LOAM-style surface selection (reference give_feature mode,
+                # preprocess.cpp:683-1002): keep plane-classified points.
+                from fastlivo_tpu.io.features import classify_features
+
+                plane_mask, edge_mask = classify_features(rec)
+                keep = plane_mask | edge_mask
+                if keep.sum() > 100:
+                    rec = LidarScan(
+                        stamp=rec.stamp,
+                        pts=rec.pts[keep],
+                        t_offs_ms=rec.t_offs_ms[keep],
+                        intensity=None
+                        if rec.intensity is None
+                        else rec.intensity[keep],
+                    )
             sync.push_lidar(rec)
         elif isinstance(rec, ImageFrame):
             sync.push_image(rec)
@@ -76,6 +102,10 @@ def run_log(
                 scan_input = scan_input._replace(
                     acc_scale=jnp.float32(pipe.acc_scale)
                 )
+            if group.is_lidar_end and n_scans < skip_scans:
+                # resumed: groups before the checkpoint only advance sync
+                n_scans += 1
+                continue
             if group.is_lidar_end:
                 with timer.stage("lio_step"):
                     info = pipe.process_scan(scan_input, t_abs)
@@ -129,6 +159,7 @@ def main(argv=None):
     parser.add_argument("--max-scans", type=int, default=None)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument("--resume", default=None, help="checkpoint to resume from")
     parser.add_argument(
         "--set", action="append", default=[],
         help="override, e.g. --set vio.img_enable=0",
@@ -153,6 +184,7 @@ def main(argv=None):
         max_scans=args.max_scans,
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint,
+        resume_from=args.resume,
     )
 
 
