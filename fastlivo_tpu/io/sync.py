@@ -53,12 +53,23 @@ class MeasurementSynchronizer:
     """Buffers sensors and emits groups; replaces the mutex-guarded ROS
     buffers + sync_packages loop."""
 
-    def __init__(self, img_enabled: bool = False, img_delta_time: float = 0.0):
+    def __init__(
+        self,
+        img_enabled: bool = False,
+        img_delta_time: float = 0.0,
+        imu_acc_scale: float = 1.0,
+        imu_axis_remap=None,
+    ):
         """img_delta_time: camera-IMU time offset added to image stamps
         (the reference's delta_time shift in img_cbk,
-        laser_mapping.cpp:900-928)."""
+        laser_mapping.cpp:900-928). imu_acc_scale / imu_axis_remap: sensor
+        quirk calibration (the MINI path, laser_mapping.cpp:870-888)."""
         self.img_enabled = img_enabled
         self.img_delta_time = img_delta_time
+        self.imu_acc_scale = imu_acc_scale
+        self.imu_axis_remap = (
+            None if imu_axis_remap is None else np.asarray(imu_axis_remap, np.float64).reshape(3, 3)
+        )
         self.lidar_buffer: deque = deque()
         self.imu_buffer: deque = deque()
         self.img_buffer: deque = deque()
@@ -77,6 +88,12 @@ class MeasurementSynchronizer:
         if sample.stamp < self.last_timestamp_imu:
             self.imu_buffer.clear()
         self.last_timestamp_imu = sample.stamp
+        if self.imu_acc_scale != 1.0 or self.imu_axis_remap is not None:
+            gyr, acc = sample.gyr, sample.acc * self.imu_acc_scale
+            if self.imu_axis_remap is not None:
+                gyr = self.imu_axis_remap @ gyr
+                acc = self.imu_axis_remap @ acc
+            sample = ImuSample(stamp=sample.stamp, gyr=gyr, acc=acc)
         self.imu_buffer.append(sample)
 
     def push_image(self, frame: ImageFrame):

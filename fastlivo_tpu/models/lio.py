@@ -46,6 +46,11 @@ class LioConfig:
     converge_trans_cm: float = 0.015
     filter_size_map: float = 0.3
     max_search_dist2: float = 25.0
+    # "point_to_plane" (default) or "vgicp" — the reference's USE_VGICP
+    # compile-flag alternative (laser_mapping.cpp:391-481) as a runtime
+    # model choice.
+    measurement_model: str = "point_to_plane"
+    vgicp_source_cov: float = 0.01  # source-point isotropic cov (m^2)
 
 
 class LioInfo(NamedTuple):
@@ -135,6 +140,75 @@ def _innovation(
     return hth, hty, n_eff, res_sum
 
 
+def _innovation_vgicp(
+    rot: jnp.ndarray,
+    pos: jnp.ndarray,
+    pts_body: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    neighbor_valid: jnp.ndarray,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    cfg: LioConfig,
+    axis_name: str | None = None,
+):
+    """VGICP-style distribution-to-point innovation (capability port of the
+    reference's USE_VGICP h_share_model, laser_mapping.cpp:418-481):
+
+      error_i = mean(neighbors_i) - p_w_i
+      M_i = (cov(neighbors_i) + sigma_src^2 I)^-1     (Mahalanobis)
+      H_i = [R [p_imu]x , -I]  ->  accumulate H^T M H, H^T M error
+
+    The reference estimates per-point source covariances from scan 15-NN
+    (caculate_covariance); an isotropic sigma_src is the standard VGICP
+    regularization and avoids a second kNN pass.
+    """
+    dtype = pts_body.dtype
+    p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
+
+    k = neighbors.shape[1]
+    w_nb = neighbor_valid.astype(dtype)
+    cnt = jnp.maximum(jnp.sum(w_nb, axis=1), 1.0)
+    mean_b = jnp.sum(neighbors * w_nb[..., None], axis=1) / cnt[:, None]
+    d = (neighbors - mean_b[:, None, :]) * w_nb[..., None]
+    cov_b = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    rcr = cov_b + jnp.eye(3, dtype=dtype) * cfg.vgicp_source_cov
+
+    err = mean_b - p_w
+    valid = (
+        pts_mask
+        & jnp.all(neighbor_valid, axis=-1)
+        & (jnp.linalg.norm(err, axis=-1) <= cfg.residual_limit)
+    )
+
+    # H = d h(x)/dx with h(x) = p_w (so that hty = H^T M (z - h) points the
+    # Gauss-Newton step toward the measurement): d p_w/d dtheta =
+    # -R [p_imu]x (right perturbation), d p_w/dp = I.
+    h_rot = -jnp.einsum("ij,njk->nik", rot, so3.hat(p_imu))
+    h = jnp.concatenate(
+        [h_rot, jnp.broadcast_to(jnp.eye(3, dtype=dtype), h_rot.shape)], axis=-1
+    )  # (N, 3, 6)
+
+    inv = jnp.linalg.inv(rcr)  # batched 3x3 Mahalanobis weights
+    w = valid.astype(dtype) * jnp.sqrt(cnt)
+    inv = inv * w[:, None, None]
+
+    h = jnp.where(valid[:, None, None], h, 0.0)
+    err_c = jnp.where(valid[:, None], err, 0.0)
+    mh = jnp.einsum("nij,njk->nik", inv, h)  # (N, 3, 6)
+    hth = jnp.einsum("nia,nib->ab", h, mh)
+    hty = jnp.einsum("nia,ni->a", mh, err_c)
+
+    n_eff = jnp.sum(valid.astype(jnp.int32))
+    res_sum = jnp.sum(jnp.where(valid, jnp.linalg.norm(err, axis=-1), 0.0))
+    if axis_name is not None:
+        hth = jax.lax.psum(hth, axis_name)
+        hty = jax.lax.psum(hty, axis_name)
+        n_eff = jax.lax.psum(n_eff, axis_name)
+        res_sum = jax.lax.psum(res_sum, axis_name)
+    return hth, hty, n_eff, res_sum
+
+
 def _embed18(hth6: jnp.ndarray, hty6: jnp.ndarray, dtype):
     hth = jnp.zeros((DIM_STATE, DIM_STATE), dtype=dtype)
     hth = hth.at[0:6, 0:6].set(hth6)
@@ -211,7 +285,10 @@ def lio_update(
             lambda: (c.nbr, c.nbr_valid),
         )
 
-        hth6, hty6, n_eff, res_sum = _innovation(
+        innov = (
+            _innovation_vgicp if cfg.measurement_model == "vgicp" else _innovation
+        )
+        hth6, hty6, n_eff, res_sum = innov(
             c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il,
             cfg, axis_name,
         )

@@ -52,7 +52,12 @@ def run_log(
     else:
         skip_scans = 0
     sync = MeasurementSynchronizer(
-        img_enabled=cfg.vio.img_enable, img_delta_time=cfg.vio.delta_time
+        img_enabled=cfg.vio.img_enable,
+        img_delta_time=cfg.vio.delta_time,
+        imu_acc_scale=cfg.imu.acc_scale_factor,
+        imu_axis_remap=None
+        if tuple(cfg.imu.axis_remap) == (1, 0, 0, 0, 1, 0, 0, 0, 1)
+        else cfg.imu.axis_remap,
     )
     builder = WindowBuilder(
         n_pts=cfg.lio.max_points * 2, imu_window=cfg.imu.imu_int_frame

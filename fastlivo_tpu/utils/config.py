@@ -41,6 +41,11 @@ class ImuParams:
     init_count: int = 50  # samples for static init (MAX_INI_COUNT)
     zero_velocity_thresh: float = 0.1  # accel std gate for static detection
     imu_int_frame: int = 128  # max IMU samples per measurement window (static shape)
+    # Sensor-quirk calibration (the reference's MINI compile flag applies a
+    # x200 accel scale + axis remap in imu_cbk, laser_mapping.cpp:870-888;
+    # runtime fields here).
+    acc_scale_factor: float = 1.0
+    axis_remap: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
 
 
 @dataclass

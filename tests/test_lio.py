@@ -97,3 +97,35 @@ def test_map_insert_gate(rng):
     nbr_close = jnp.tile(center[:, None, :], (1, 5, 1))
     add2 = jgate(pts, jnp.ones(64, bool), nbr_close, jnp.ones((64, 5), bool), 0.3)
     assert not bool(jnp.any(add2))
+
+
+def test_lio_vgicp_model_recovers_pose(rng):
+    """The VGICP alternative measurement model (the reference's USE_VGICP
+    path) must also recover a perturbed pose on the synthetic room."""
+    world_pts = make_room(rng)
+    m = vm.make_map(MAP_CFG)
+    m = jinsert(m, jnp.asarray(world_pts), jnp.ones(len(world_pts), bool), MAP_CFG)
+
+    rot_true = Rotation.from_rotvec([0.02, -0.01, 0.3]).as_matrix().astype(np.float32)
+    pos_true = np.array([0.5, -0.3, 1.2], np.float32)
+    scan_world = make_room(np.random.default_rng(7), n=2000)
+    scan_body = (scan_world - pos_true) @ rot_true
+
+    rot0 = rot_true @ Rotation.from_rotvec([0.01, 0.015, -0.02]).as_matrix()
+    pos0 = pos_true + np.array([0.05, -0.04, 0.03], np.float32)
+    prior = NavState.identity()._replace(
+        rot=jnp.asarray(rot0, jnp.float32), pos=jnp.asarray(pos0)
+    )
+
+    cfg = lio.LioConfig(max_iteration=10, measurement_model="vgicp")
+    post, info, _ = jax.jit(lio.lio_update, static_argnames=("map_cfg", "cfg"))(
+        prior, m, jnp.asarray(scan_body), jnp.ones(len(scan_body), bool),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), MAP_CFG, cfg,
+    )
+    assert int(info.n_effective) > 1000
+    rot_err = Rotation.from_matrix(
+        np.asarray(post.rot).astype(np.float64) @ rot_true.T
+    ).magnitude()
+    pos_err = np.linalg.norm(np.asarray(post.pos) - pos_true)
+    assert rot_err < 0.01, rot_err
+    assert pos_err < 0.05, pos_err
