@@ -128,9 +128,9 @@ def fit_voxel_planes(
     center = s1 / c[:, None]
     cov = s2 / c[:, None, None] - center[:, :, None] * center[:, None, :]
     cov = cov + jnp.eye(3, dtype=pts.dtype) * 1e-9
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    min_eig = evals[:, 0]
-    normal = evecs[:, :, 0]
+    from fastlivo_tpu.ops import linalg as _linalg
+
+    min_eig, normal = _linalg.eigh3_smallest(cov)  # analytic: TPU-fast
 
     valid = cnt >= 1.0
     is_plane = valid & (cnt >= min_points) & (min_eig < plane_thresh)

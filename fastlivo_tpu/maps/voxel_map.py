@@ -49,7 +49,14 @@ class VoxelMapConfig:
 
 
 class VoxelHashMap(NamedTuple):
-    """The map arena. All arrays fixed-shape; functional updates only."""
+    """The map arena. All arrays fixed-shape; functional updates only.
+
+    Beyond the slab of raw points (the iVox equivalent), each voxel keeps
+    RUNNING SURFEL MOMENTS over every point ever inserted (not just the
+    slab-capped ones): count, sum, and outer-product sum. These make the
+    per-voxel plane (mean + covariance eigenvector) available without any
+    kNN at query time — the Surfel-LIO-style fast path (PAPERS.md).
+    """
 
     keys: jnp.ndarray  # (C, 3) int32 voxel coords
     occupied: jnp.ndarray  # (C,) bool
@@ -57,6 +64,9 @@ class VoxelHashMap(NamedTuple):
     points: jnp.ndarray  # (C, S, 3) f32
     stamps: jnp.ndarray  # (C,) int32 — LRU epoch of last touch
     epoch: jnp.ndarray  # () int32
+    surf_n: jnp.ndarray  # (C,) f32 — running point count (uncapped)
+    surf_s1: jnp.ndarray  # (C, 3) f32 — running sum of points
+    surf_s2: jnp.ndarray  # (C, 3, 3) f32 — running sum of outer products
 
 
 def make_map(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelHashMap:
@@ -68,6 +78,9 @@ def make_map(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelHashMap:
         points=jnp.zeros((c, s, 3), dtype=dtype),
         stamps=jnp.zeros((c,), dtype=jnp.int32),
         epoch=jnp.zeros((), dtype=jnp.int32),
+        surf_n=jnp.zeros((c,), dtype=dtype),
+        surf_s1=jnp.zeros((c, 3), dtype=dtype),
+        surf_s2=jnp.zeros((c, 3, 3), dtype=dtype),
     )
 
 
@@ -174,7 +187,13 @@ def insert(
         occupied = m.occupied.at[wslot].set(True, mode="drop")
         counts = m.counts.at[wslot].set(0, mode="drop")  # reset on claim/evict
         stamps = m.stamps.at[wslot].set(m.epoch, mode="drop")
-        return m._replace(keys=keys, occupied=occupied, counts=counts, stamps=stamps)
+        surf_n = m.surf_n.at[wslot].set(0.0, mode="drop")
+        surf_s1 = m.surf_s1.at[wslot].set(0.0, mode="drop")
+        surf_s2 = m.surf_s2.at[wslot].set(0.0, mode="drop")
+        return m._replace(
+            keys=keys, occupied=occupied, counts=counts, stamps=stamps,
+            surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
+        )
 
     m = jax.lax.fori_loop(0, cfg.claim_rounds, claim_round, m)
 
@@ -195,8 +214,19 @@ def insert(
     )
     counts = jnp.minimum(m.counts + added, cfg.max_points)
     stamps = m.stamps.at[slot].set(m.epoch, mode="drop")
+
+    # Surfel moments accumulate EVERY accepted-voxel point (even beyond the
+    # slab cap): the per-voxel plane keeps refining with history.
+    surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
+    w = (surf_slot < cfg.capacity).astype(pts.dtype)
+    surf_n = m.surf_n.at[surf_slot].add(w, mode="drop")
+    surf_s1 = m.surf_s1.at[surf_slot].add(pts * w[:, None], mode="drop")
+    surf_s2 = m.surf_s2.at[surf_slot].add(
+        pts[:, :, None] * pts[:, None, :] * w[:, None, None], mode="drop"
+    )
     return m._replace(
-        points=points, counts=counts, stamps=stamps, epoch=m.epoch + 1
+        points=points, counts=counts, stamps=stamps, epoch=m.epoch + 1,
+        surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
     )
 
 
@@ -270,6 +300,58 @@ def knn(
 
     valid = best_d2 <= max_dist2
     return best_pts, best_d2, valid
+
+
+def surfel_lookup(
+    m: VoxelHashMap,
+    queries: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    min_points: float = 6.0,
+    planarity_max: float = 0.01,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-query surfel plane from the running voxel moments — the
+    Surfel-LIO-style fast path: NO kNN, NO per-scan plane fits; one probe
+    per stencil voxel + a batched 3x3 eigendecomposition.
+
+    Picks, among the query voxel and its 6 face neighbors, the populated
+    voxel whose mean is nearest to the query. Returns (normal (N,3),
+    d (N,), valid (N,)) with valid requiring >= min_points accumulated and
+    smallest eigenvalue (plane thickness variance) <= planarity_max.
+    """
+    n = queries.shape[0]
+    dtype = queries.dtype
+    vox_q = voxel_coord(queries, cfg.resolution)
+
+    best_d2 = jnp.full((n,), jnp.inf, dtype)
+    best_slot = jnp.zeros((n,), jnp.int32)
+    has = jnp.zeros((n,), bool)
+    for off in nearby_offsets(6):
+        found, _ = probe(m, vox_q + jnp.asarray(off, jnp.int32), cfg)
+        slot = jnp.clip(found, 0, cfg.capacity - 1)
+        cnt = jnp.where(found >= 0, m.surf_n[slot], 0.0)
+        ok = cnt >= min_points
+        mean = m.surf_s1[slot] / jnp.maximum(cnt, 1.0)[:, None]
+        d2 = jnp.sum((mean - queries) ** 2, axis=-1)
+        d2 = jnp.where(ok, d2, jnp.inf)
+        better = d2 < best_d2
+        best_d2 = jnp.where(better, d2, best_d2)
+        best_slot = jnp.where(better, slot, best_slot)
+        has = has | (better & ok)
+
+    cnt = jnp.maximum(m.surf_n[best_slot], 1.0)
+    mean = m.surf_s1[best_slot] / cnt[:, None]
+    cov = m.surf_s2[best_slot] / cnt[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
+    # Analytic 3x3 eigendecomposition (ops.linalg.eigh3_smallest):
+    # jnp.linalg.eigh is iterative and ~1000x slower on TPU at this batch.
+    from fastlivo_tpu.ops import linalg as _linalg
+
+    min_eig, normal = _linalg.eigh3_smallest(cov)
+    d = -jnp.sum(normal * mean, axis=-1)
+    valid = has & (min_eig <= planarity_max)
+    normal = jnp.where(valid[:, None], normal, 0.0)
+    d = jnp.where(valid, d, 0.0)
+    return normal, d, valid
 
 
 def num_occupied(m: VoxelHashMap) -> jnp.ndarray:

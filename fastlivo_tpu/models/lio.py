@@ -46,11 +46,14 @@ class LioConfig:
     converge_trans_cm: float = 0.015
     filter_size_map: float = 0.3
     max_search_dist2: float = 25.0
-    # "point_to_plane" (default) or "vgicp" — the reference's USE_VGICP
-    # compile-flag alternative (laser_mapping.cpp:391-481) as a runtime
-    # model choice.
+    # "point_to_plane" (default), "vgicp" (the reference's USE_VGICP
+    # compile-flag alternative, laser_mapping.cpp:391-481), or "surfel"
+    # (running per-voxel plane moments — no kNN in the hot loop; the
+    # Surfel-LIO-style fast path, PAPERS.md).
     measurement_model: str = "point_to_plane"
     vgicp_source_cov: float = 0.01  # source-point isotropic cov (m^2)
+    surfel_min_points: float = 6.0
+    surfel_planarity_max: float = 0.01  # plane-thickness variance gate (m^2)
 
 
 class LioInfo(NamedTuple):
@@ -209,6 +212,52 @@ def _innovation_vgicp(
     return hth, hty, n_eff, res_sum
 
 
+def _innovation_surfel(
+    rot: jnp.ndarray,
+    pos: jnp.ndarray,
+    pts_body: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    lidar_map: vm.VoxelHashMap,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    map_cfg: vm.VoxelMapConfig,
+    cfg: LioConfig,
+    axis_name: str | None = None,
+):
+    """Point-to-surfel innovation: identical residual/Jacobian structure to
+    point-to-plane, but the plane comes from the voxel's running moments
+    (vm.surfel_lookup) instead of a kNN gather + per-scan fit."""
+    p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
+    normal, d, surf_ok = vm.surfel_lookup(
+        lidar_map, p_w, map_cfg, cfg.surfel_min_points, cfg.surfel_planarity_max
+    )
+
+    pd2 = jnp.sum(normal * p_w, axis=-1) + d
+    body_norm = jnp.linalg.norm(pts_body, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(body_norm, 1e-6))
+    valid = (
+        pts_mask & surf_ok & (s > 0.9) & (jnp.abs(pd2) <= cfg.residual_limit)
+    )
+
+    rn = normal @ rot
+    a = jnp.cross(p_imu, rn)
+    h = jnp.concatenate([a, normal], axis=-1)
+    h = jnp.where(valid[:, None], h, 0.0)
+    pd2_c = jnp.where(valid, pd2, 0.0)
+    w = valid.astype(pts_body.dtype) / cfg.laser_point_cov
+    hth = jnp.einsum("ni,nj->ij", h * w[:, None], h)
+    hty = jnp.einsum("ni,n->i", h, w * (-pd2_c))
+
+    n_eff = jnp.sum(valid.astype(jnp.int32))
+    res_sum = jnp.sum(jnp.where(valid, jnp.abs(pd2), 0.0))
+    if axis_name is not None:
+        hth = jax.lax.psum(hth, axis_name)
+        hty = jax.lax.psum(hty, axis_name)
+        n_eff = jax.lax.psum(n_eff, axis_name)
+        res_sum = jax.lax.psum(res_sum, axis_name)
+    return hth, hty, n_eff, res_sum
+
+
 def _embed18(hth6: jnp.ndarray, hty6: jnp.ndarray, dtype):
     hth = jnp.zeros((DIM_STATE, DIM_STATE), dtype=dtype)
     hth = hth.at[0:6, 0:6].set(hth6)
@@ -248,7 +297,16 @@ def lio_update(
 
     p_inv = linalg.psd_inverse(state_prop.cov)
 
+    surfel_mode = cfg.measurement_model == "surfel"
+
     def search(rot, pos):
+        if surfel_mode:
+            # Surfel mode needs no neighbor cache — planes come from voxel
+            # moments at evaluation time.
+            return (
+                jnp.zeros((n, k, 3), dtype),
+                jnp.zeros((n, k), bool),
+            )
         _, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
         nbr, _, nbr_valid = vm.knn(
             lidar_map, p_w, map_cfg, k=k, max_dist2=cfg.max_search_dist2
@@ -285,13 +343,21 @@ def lio_update(
             lambda: (c.nbr, c.nbr_valid),
         )
 
-        innov = (
-            _innovation_vgicp if cfg.measurement_model == "vgicp" else _innovation
-        )
-        hth6, hty6, n_eff, res_sum = innov(
-            c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il,
-            cfg, axis_name,
-        )
+        if surfel_mode:
+            hth6, hty6, n_eff, res_sum = _innovation_surfel(
+                c.rot, c.pos, pts_body, pts_mask, lidar_map, rot_il, t_il,
+                map_cfg, cfg, axis_name,
+            )
+        else:
+            innov = (
+                _innovation_vgicp
+                if cfg.measurement_model == "vgicp"
+                else _innovation
+            )
+            hth6, hty6, n_eff, res_sum = innov(
+                c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il,
+                cfg, axis_name,
+            )
         hth, hty = _embed18(hth6, hty6, dtype)
         if extra_hth is not None:
             hth = hth + extra_hth

@@ -32,3 +32,57 @@ def psd_solve(a: jnp.ndarray, b: jnp.ndarray, jitter: float = 1e-9) -> jnp.ndarr
 def psd_inverse(a: jnp.ndarray, jitter: float = 1e-9) -> jnp.ndarray:
     """Inverse of a symmetric positive-definite matrix (preconditioned)."""
     return psd_solve(a, jnp.eye(a.shape[0], dtype=a.dtype), jitter)
+
+
+def eigh3_smallest(a: jnp.ndarray):
+    """Smallest eigenvalue + eigenvector of batched symmetric 3x3 matrices,
+    in closed form (trigonometric method) — all elementwise VPU ops.
+
+    `jnp.linalg.eigh` lowers to an iterative QR algorithm that is ~1000x
+    slower on TPU for huge batches of tiny matrices (measured: the surfel
+    path went 0.7 ms -> 492 ms per scan through eigh). This analytic path
+    keeps the per-voxel plane extraction on the fast path.
+
+    Args: a (..., 3, 3) symmetric. Returns (eigval (...,), eigvec (..., 3)).
+    """
+    dtype = a.dtype
+    q = (a[..., 0, 0] + a[..., 1, 1] + a[..., 2, 2]) / 3.0
+    a01, a02, a12 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    p1 = a01**2 + a02**2 + a12**2
+    d0 = a[..., 0, 0] - q
+    d1 = a[..., 1, 1] - q
+    d2 = a[..., 2, 2] - q
+    p2 = d0**2 + d1**2 + d2**2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    b = (a - q[..., None, None] * jnp.eye(3, dtype=dtype)) / p[..., None, None]
+    detb = (
+        b[..., 0, 0] * (b[..., 1, 1] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 1])
+        - b[..., 0, 1] * (b[..., 1, 0] * b[..., 2, 2] - b[..., 1, 2] * b[..., 2, 0])
+        + b[..., 0, 2] * (b[..., 1, 0] * b[..., 2, 1] - b[..., 1, 1] * b[..., 2, 0])
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues: q + 2p cos(phi + 2k pi/3) with phi in [0, pi/3];
+    # k=1 (phi + 2pi/3) lands in [2pi/3, pi] where cos is most negative,
+    # giving the smallest eigenvalue.
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # Eigenvector: null space of (A - lam I); use the largest of the three
+    # row cross products for numerical robustness.
+    m = a - lam[..., None, None] * jnp.eye(3, dtype=dtype)
+    c01 = jnp.cross(m[..., 0, :], m[..., 1, :])
+    c02 = jnp.cross(m[..., 0, :], m[..., 2, :])
+    c12 = jnp.cross(m[..., 1, :], m[..., 2, :])
+    n01 = jnp.sum(c01**2, axis=-1)
+    n02 = jnp.sum(c02**2, axis=-1)
+    n12 = jnp.sum(c12**2, axis=-1)
+    best = jnp.argmax(jnp.stack([n01, n02, n12], axis=-1), axis=-1)
+    stacked = jnp.stack([c01, c02, c12], axis=-2)
+    v = jnp.take_along_axis(
+        stacked, best[..., None, None].repeat(3, axis=-1), axis=-2
+    )[..., 0, :]
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
+    # Degenerate (isotropic) case: p ~ 0 -> any direction; callers gate on
+    # the eigenvalue anyway.
+    return lam, v

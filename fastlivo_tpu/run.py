@@ -31,6 +31,7 @@ def run_log(
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
     progress: bool = True,
+    profile_dir: Optional[str] = None,
 ):
     """Programmatic runner. Returns the pipeline after the run."""
     import jax.numpy as jnp
@@ -64,6 +65,14 @@ def run_log(
     )
     timer = StageTimer()
     pipe.timer = timer
+
+    if profile_dir is not None:
+        # Kernel-level traces (SURVEY.md section 5: the TPU counterpart of
+        # the reference's omp_get_wtime CSV rows) — open with TensorBoard
+        # or xprof.
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
 
     n_scans = 0
     t_start = time.perf_counter()
@@ -141,6 +150,10 @@ def run_log(
         if max_scans is not None and n_scans >= max_scans:
             break
 
+    if profile_dir is not None:
+        import jax
+
+        jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start
     if progress:
         print(
@@ -165,6 +178,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--checkpoint-every", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
+    parser.add_argument("--profile", default=None, help="write a jax profiler trace here")
     parser.add_argument(
         "--set", action="append", default=[],
         help="override, e.g. --set vio.img_enable=0",
@@ -190,6 +204,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
+        profile_dir=args.profile,
     )
 
 

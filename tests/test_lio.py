@@ -129,3 +129,38 @@ def test_lio_vgicp_model_recovers_pose(rng):
     pos_err = np.linalg.norm(np.asarray(post.pos) - pos_true)
     assert rot_err < 0.01, rot_err
     assert pos_err < 0.05, pos_err
+
+
+def test_lio_surfel_model_recovers_pose(rng):
+    """The surfel fast path (per-voxel running moments, no kNN) must also
+    recover a perturbed pose."""
+    world_pts = make_room(rng)
+    m = vm.make_map(MAP_CFG)
+    # two inserts so voxels accumulate enough moment mass
+    m = jinsert(m, jnp.asarray(world_pts), jnp.ones(len(world_pts), bool), MAP_CFG)
+    more = make_room(np.random.default_rng(3))
+    m = jinsert(m, jnp.asarray(more), jnp.ones(len(more), bool), MAP_CFG)
+
+    rot_true = Rotation.from_rotvec([0.02, -0.01, 0.3]).as_matrix().astype(np.float32)
+    pos_true = np.array([0.5, -0.3, 1.2], np.float32)
+    scan_world = make_room(np.random.default_rng(7), n=2000)
+    scan_body = (scan_world - pos_true) @ rot_true
+
+    rot0 = rot_true @ Rotation.from_rotvec([0.01, 0.015, -0.02]).as_matrix()
+    pos0 = pos_true + np.array([0.05, -0.04, 0.03], np.float32)
+    prior = NavState.identity()._replace(
+        rot=jnp.asarray(rot0, jnp.float32), pos=jnp.asarray(pos0)
+    )
+
+    cfg = lio.LioConfig(max_iteration=10, measurement_model="surfel")
+    post, info, _ = jax.jit(lio.lio_update, static_argnames=("map_cfg", "cfg"))(
+        prior, m, jnp.asarray(scan_body), jnp.ones(len(scan_body), bool),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), MAP_CFG, cfg,
+    )
+    assert int(info.n_effective) > 800, int(info.n_effective)
+    rot_err = Rotation.from_matrix(
+        np.asarray(post.rot).astype(np.float64) @ rot_true.T
+    ).magnitude()
+    pos_err = np.linalg.norm(np.asarray(post.pos) - pos_true)
+    assert rot_err < 0.01, rot_err
+    assert pos_err < 0.05, pos_err

@@ -79,3 +79,18 @@ def test_voxel_downsample_mask(rng):
     mask = np.zeros(100, bool)
     out, omask = jdown(jnp.asarray(pts), jnp.asarray(mask), 0.5, 128)
     assert int(jnp.sum(omask)) == 0
+
+
+def test_eigh3_smallest_matches_numpy(rng):
+    from fastlivo_tpu.ops import linalg
+
+    a = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    cov = np.einsum("nij,nkj->nik", a, a)  # SPD
+    lam, v = jax.jit(linalg.eigh3_smallest)(jnp.asarray(cov))
+    lam = np.asarray(lam)
+    v = np.asarray(v)
+    w_ref, v_ref = np.linalg.eigh(cov.astype(np.float64))
+    np.testing.assert_allclose(lam, w_ref[:, 0], rtol=1e-3, atol=1e-3)
+    # eigenvector up to sign
+    dots = np.abs(np.sum(v * v_ref[:, :, 0], axis=-1))
+    assert (dots > 0.995).mean() > 0.95, dots.min()
