@@ -32,6 +32,7 @@ def run_log(
     resume_from: Optional[str] = None,
     progress: bool = True,
     profile_dir: Optional[str] = None,
+    dump_states: Optional[str] = None,
 ):
     """Programmatic runner. Returns the pipeline after the run."""
     import jax.numpy as jnp
@@ -125,6 +126,22 @@ def run_log(
                     info = pipe.process_scan(scan_input, t_abs)
                 timer.tick(t_abs)
                 n_scans += 1
+                if dump_states is not None and info is not None:
+                    # full-state rows (the reference's mat_out.txt dump,
+                    # laser_mapping.cpp:240-241)
+                    st = pipe.state
+                    row = np.concatenate(
+                        [
+                            [t_abs],
+                            np.asarray(st.pos),
+                            np.asarray(st.vel),
+                            np.asarray(st.bg),
+                            np.asarray(st.ba),
+                            np.asarray(st.grav),
+                        ]
+                    )
+                    with open(dump_states, "a") as f:
+                        f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
                 if progress and info is not None and n_scans % 50 == 0:
                     pos = np.asarray(pipe.state.pos)
                     print(
@@ -179,6 +196,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint-every", type=int, default=None)
     parser.add_argument("--resume", default=None, help="checkpoint to resume from")
     parser.add_argument("--profile", default=None, help="write a jax profiler trace here")
+    parser.add_argument("--dump-states", default=None, help="append full state rows here")
     parser.add_argument(
         "--set", action="append", default=[],
         help="override, e.g. --set vio.img_enable=0",
@@ -205,6 +223,7 @@ def main(argv=None):
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
         profile_dir=args.profile,
+        dump_states=args.dump_states,
     )
 
 
