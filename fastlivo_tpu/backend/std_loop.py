@@ -115,19 +115,29 @@ def fit_voxel_planes(
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
     seg = jnp.where(mask_s & (seg >= 0), seg, max_voxels)
 
+    # Accumulate moments in voxel-LOCAL coordinates: with world coordinates
+    # |p|^2 ~ 400 m^2 vs plane-thickness variances ~1e-4 m^2, the
+    # s2/c - mean mean^T subtraction cancels catastrophically in f32 and
+    # plane classification collapses. The voxel-corner shift is exactly
+    # representable, so local moments keep full precision.
+    base = jnp.where(
+        mask_s[:, None], vox_s.astype(pts.dtype) * voxel_size, 0.0
+    )
+    pts_l = pts_s - base
     w = mask_s.astype(pts.dtype)
     cnt = jax.ops.segment_sum(w, seg, num_segments=max_voxels + 1)[:max_voxels]
-    s1 = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=max_voxels + 1)[:max_voxels]
-    outer = pts_s[:, :, None] * pts_s[:, None, :] * w[:, None, None]
+    s1 = jax.ops.segment_sum(pts_l * w[:, None], seg, num_segments=max_voxels + 1)[:max_voxels]
+    outer = pts_l[:, :, None] * pts_l[:, None, :] * w[:, None, None]
     s2 = jax.ops.segment_sum(outer, seg, num_segments=max_voxels + 1)[:max_voxels]
     coords = jax.ops.segment_max(
         jnp.where(mask_s[:, None], vox_s, -sentinel), seg, num_segments=max_voxels + 1
     )[:max_voxels]
 
     c = jnp.maximum(cnt, 1.0)
-    center = s1 / c[:, None]
-    cov = s2 / c[:, None, None] - center[:, :, None] * center[:, None, :]
+    mean_l = s1 / c[:, None]
+    cov = s2 / c[:, None, None] - mean_l[:, :, None] * mean_l[:, None, :]
     cov = cov + jnp.eye(3, dtype=pts.dtype) * 1e-9
+    center = mean_l + coords.astype(pts.dtype) * voxel_size
     from fastlivo_tpu.ops import linalg as _linalg
 
     min_eig, normal = _linalg.eigh3_smallest(cov)  # analytic: TPU-fast

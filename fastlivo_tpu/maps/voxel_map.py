@@ -216,13 +216,17 @@ def insert(
     stamps = m.stamps.at[slot].set(m.epoch, mode="drop")
 
     # Surfel moments accumulate EVERY accepted-voxel point (even beyond the
-    # slab cap): the per-voxel plane keeps refining with history.
+    # slab cap): the per-voxel plane keeps refining with history. Moments
+    # are kept in voxel-LOCAL coordinates — with world coordinates the
+    # covariance subtraction cancels catastrophically in f32 (|p|^2 ~ 1e2+
+    # vs plane-thickness variance ~1e-4).
     surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
     w = (surf_slot < cfg.capacity).astype(pts.dtype)
+    pts_l = pts - vox.astype(pts.dtype) * cfg.resolution
     surf_n = m.surf_n.at[surf_slot].add(w, mode="drop")
-    surf_s1 = m.surf_s1.at[surf_slot].add(pts * w[:, None], mode="drop")
+    surf_s1 = m.surf_s1.at[surf_slot].add(pts_l * w[:, None], mode="drop")
     surf_s2 = m.surf_s2.at[surf_slot].add(
-        pts[:, :, None] * pts[:, None, :] * w[:, None, None], mode="drop"
+        pts_l[:, :, None] * pts_l[:, None, :] * w[:, None, None], mode="drop"
     )
     return m._replace(
         points=points, counts=counts, stamps=stamps, epoch=m.epoch + 1,
@@ -330,7 +334,11 @@ def surfel_lookup(
         slot = jnp.clip(found, 0, cfg.capacity - 1)
         cnt = jnp.where(found >= 0, m.surf_n[slot], 0.0)
         ok = cnt >= min_points
-        mean = m.surf_s1[slot] / jnp.maximum(cnt, 1.0)[:, None]
+        # moments are voxel-local; reconstruct the world mean
+        mean = (
+            m.surf_s1[slot] / jnp.maximum(cnt, 1.0)[:, None]
+            + m.keys[slot].astype(dtype) * cfg.resolution
+        )
         d2 = jnp.sum((mean - queries) ** 2, axis=-1)
         d2 = jnp.where(ok, d2, jnp.inf)
         better = d2 < best_d2
@@ -339,8 +347,12 @@ def surfel_lookup(
         has = has | (better & ok)
 
     cnt = jnp.maximum(m.surf_n[best_slot], 1.0)
-    mean = m.surf_s1[best_slot] / cnt[:, None]
-    cov = m.surf_s2[best_slot] / cnt[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    mean_l = m.surf_s1[best_slot] / cnt[:, None]
+    mean = mean_l + m.keys[best_slot].astype(dtype) * cfg.resolution
+    cov = (
+        m.surf_s2[best_slot] / cnt[:, None, None]
+        - mean_l[:, :, None] * mean_l[:, None, :]
+    )
     cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
     # Analytic 3x3 eigendecomposition (ops.linalg.eigh3_smallest):
     # jnp.linalg.eigh is iterative and ~1000x slower on TPU at this batch.
