@@ -120,8 +120,10 @@ def fit_voxel_planes(
     # s2/c - mean mean^T subtraction cancels catastrophically in f32 and
     # plane classification collapses. The voxel-corner shift is exactly
     # representable, so local moments keep full precision.
+    from fastlivo_tpu.maps.voxel_map import voxel_corner
+
     base = jnp.where(
-        mask_s[:, None], vox_s.astype(pts.dtype) * voxel_size, 0.0
+        mask_s[:, None], voxel_corner(vox_s, voxel_size, pts.dtype), 0.0
     )
     pts_l = pts_s - base
     w = mask_s.astype(pts.dtype)
@@ -137,7 +139,7 @@ def fit_voxel_planes(
     mean_l = s1 / c[:, None]
     cov = s2 / c[:, None, None] - mean_l[:, :, None] * mean_l[:, None, :]
     cov = cov + jnp.eye(3, dtype=pts.dtype) * 1e-9
-    center = mean_l + coords.astype(pts.dtype) * voxel_size
+    center = mean_l + voxel_corner(coords, voxel_size, pts.dtype)
     from fastlivo_tpu.ops import linalg as _linalg
 
     min_eig, normal = _linalg.eigh3_smallest(cov)  # analytic: TPU-fast

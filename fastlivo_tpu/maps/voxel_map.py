@@ -89,6 +89,13 @@ def voxel_coord(pts: jnp.ndarray, resolution: float) -> jnp.ndarray:
     return jnp.floor(pts / resolution).astype(jnp.int32)
 
 
+def voxel_corner(vox: jnp.ndarray, resolution: float, dtype=jnp.float32) -> jnp.ndarray:
+    """Voxel coordinate -> its world-space corner (the local-coordinate
+    anchor for surfel moments: writers subtract it, readers add it back —
+    keep the two sides paired through THIS helper)."""
+    return vox.astype(dtype) * resolution
+
+
 def _hash(vox: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Spatial hash of (..., 3) int voxel coords into [0, capacity)."""
     h = vox[..., 0] * _HP[0] ^ vox[..., 1] * _HP[1] ^ vox[..., 2] * _HP[2]
@@ -222,7 +229,7 @@ def insert(
     # vs plane-thickness variance ~1e-4).
     surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
     w = (surf_slot < cfg.capacity).astype(pts.dtype)
-    pts_l = pts - vox.astype(pts.dtype) * cfg.resolution
+    pts_l = pts - voxel_corner(vox, cfg.resolution, pts.dtype)
     surf_n = m.surf_n.at[surf_slot].add(w, mode="drop")
     surf_s1 = m.surf_s1.at[surf_slot].add(pts_l * w[:, None], mode="drop")
     surf_s2 = m.surf_s2.at[surf_slot].add(
@@ -337,7 +344,7 @@ def surfel_lookup(
         # moments are voxel-local; reconstruct the world mean
         mean = (
             m.surf_s1[slot] / jnp.maximum(cnt, 1.0)[:, None]
-            + m.keys[slot].astype(dtype) * cfg.resolution
+            + voxel_corner(m.keys[slot], cfg.resolution, dtype)
         )
         d2 = jnp.sum((mean - queries) ** 2, axis=-1)
         d2 = jnp.where(ok, d2, jnp.inf)
@@ -348,7 +355,7 @@ def surfel_lookup(
 
     cnt = jnp.maximum(m.surf_n[best_slot], 1.0)
     mean_l = m.surf_s1[best_slot] / cnt[:, None]
-    mean = mean_l + m.keys[best_slot].astype(dtype) * cfg.resolution
+    mean = mean_l + voxel_corner(m.keys[best_slot], cfg.resolution, dtype)
     cov = (
         m.surf_s2[best_slot] / cnt[:, None, None]
         - mean_l[:, :, None] * mean_l[:, None, :]

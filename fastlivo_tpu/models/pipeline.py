@@ -88,6 +88,7 @@ class StepConfig:
                 converge_rot_deg=cfg.lio.converge_rot_deg,
                 converge_trans_cm=cfg.lio.converge_trans_cm,
                 filter_size_map=cfg.lio.filter_size_map,
+                measurement_model=cfg.lio.measurement_model,
             ),
             ds_leaf=cfg.lio.filter_size_surf,
             ds_capacity=cfg.lio.max_points,

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SCHEMA_VERSION = 2
+
 
 def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
     leaves, treedef = jax.tree.flatten(tree)
@@ -50,6 +52,9 @@ def save_pipeline(path: str, pipe, meta: Dict[str, Any] | None = None):
         np.stack([q for _, _, q in traj]) if traj else np.zeros((0, 4))
     )
     header = {
+        # Bump on any change to array SEMANTICS (not just shapes): v2 =
+        # surfel moments stored in voxel-local coordinates.
+        "schema_version": SCHEMA_VERSION,
         "first_scan": pipe.first_scan,
         "init_done": pipe.initializer.done,
         "mean_acc": pipe.initializer.mean_acc.tolist(),
@@ -65,6 +70,13 @@ def load_pipeline(path: str, pipe):
     same config. Returns the stored meta dict."""
     data = np.load(path, allow_pickle=False)
     header = json.loads(bytes(data["header"]).decode())
+    version = header.get("schema_version", 1)
+    if version != SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint schema v{version} != expected v{SCHEMA_VERSION} "
+            "(array semantics changed between versions; re-run from the log "
+            "instead of resuming)"
+        )
     pipe.state = _unflatten("state", data, pipe.state)
     pipe.map = _unflatten("map", data, pipe.map)
     pipe.visual_map = _unflatten("vmap", data, pipe.visual_map)

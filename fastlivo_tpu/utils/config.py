@@ -74,6 +74,8 @@ class LioParams:
     converge_trans_cm: float = 0.015
     max_points: int = 16384  # static per-scan downsampled point budget
     cube_len: float = 2000.0
+    # "point_to_plane" | "vgicp" | "surfel" (see models/lio.py LioConfig)
+    measurement_model: str = "point_to_plane"
 
 
 @dataclass
