@@ -33,14 +33,20 @@ def main():
     from fastlivo_tpu.models.imu import ImuWindow
     from fastlivo_tpu.state import NavState
 
-    # Avia-like steady state: ~20k raw points in, 16k downsample budget.
-    n_raw = 20000
+    # Flagship configuration: the surfel measurement model (per-voxel
+    # running moments, zero kNN in the hot loop) at a 65k-point budget —
+    # same trajectory accuracy as point-to-plane on the drift benchmarks,
+    # ~3x faster with ~3x more effective constraints (ARCHITECTURE.md).
+    from fastlivo_tpu.models import lio as lio_mod
+
+    n_raw = 80000
     imu_m = 32
     cfg = pl_mod.StepConfig(
         map_cfg=vm.VoxelMapConfig(
             resolution=0.5, capacity=1 << 19, max_points=32, nearby_type=18
         ),
-        ds_capacity=16384,
+        lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
+        ds_capacity=65536,
         imu_window=imu_m,
     )
     i3 = jnp.eye(3, dtype=jnp.float32)
@@ -136,6 +142,8 @@ def main():
                 "per_scan_ms": round(per_scan * 1e3, 3),
                 "ieskf_innovation_nnz_per_sec": round(nnz_per_sec, 1),
                 "n_effective_last": int(info.n_effective),
+                "measurement_model": "surfel",
+                "scan_budget": cfg.ds_capacity,
                 "platform": jax.devices()[0].platform,
             }
         )
