@@ -56,18 +56,31 @@ class LoopBackend:
         self._executor = ThreadPoolExecutor(max_workers=1) if background else None
         self._pending: List[Tuple[Future, int]] = []
 
+        # Optional visual verification of loop candidates (the reference's
+        # SuperPoint+LightGlue match-ratio gate, laser_mapping.cpp:1290-1343).
+        self.visual_verify_en = cfg.loop.visual_verify_en
+        self.match_ratio_thresh = cfg.loop.match_ratio_thresh
+        self._frame_imgs: List[Optional[np.ndarray]] = []  # per STD frame
+        self._last_img: Optional[np.ndarray] = None
+        self._matcher = None
+        self.rejected_loops: List[Tuple[int, int, float]] = []
+
     # ------------------------------------------------------------------
 
     def on_scan(
         self, rot: np.ndarray, pos: np.ndarray, world_cloud: np.ndarray,
-        stamp: float = 0.0,
+        stamp: float = 0.0, img: Optional[np.ndarray] = None,
     ):
-        """Feed every LIO posterior pose + registered world cloud."""
+        """Feed every LIO posterior pose + registered world cloud (and,
+        when available, the most recent camera frame for visual loop
+        verification)."""
         kf = self.graph.maybe_add_keyframe(
             rot, pos, self.trans_thresh, self.rot_thresh, stamp=stamp
         )
         if kf is not None:
             self._last_kf = kf
+        if img is not None:
+            self._last_img = img
         self._cloud_buf.append(self._downsample(world_cloud))
         if len(self._cloud_buf) >= self.sub_frame_num:
             key_cloud = np.concatenate(self._cloud_buf)
@@ -92,9 +105,29 @@ class LoopBackend:
 
     def _handle_result(self, result, kf_idx: int):
         self._std_frame_kf.append(kf_idx)
+        self._frame_imgs.append(self._last_img)
         if result is None:
             return
         fid, score, rot, t = result
+
+        # Visual gate (match ratio >= threshold, reference
+        # laser_mapping.cpp:1314-1322) when both frames carry images.
+        if self.visual_verify_en:
+            img_cur = self._frame_imgs[-1]
+            img_old = self._frame_imgs[fid] if fid < len(self._frame_imgs) else None
+            if img_cur is not None and img_old is not None:
+                from fastlivo_tpu.backend.visual_verify import verify_loop
+
+                if self._matcher is None:
+                    from fastlivo_tpu.backend.visual_verify import PatchMatcher
+
+                    self._matcher = PatchMatcher()
+                ok, res = verify_loop(
+                    img_cur, img_old, self._matcher, self.match_ratio_thresh
+                )
+                if not ok:
+                    self.rejected_loops.append((fid, kf_idx, res.match_ratio))
+                    return
         kf_from = self._std_frame_kf[fid]
         # The STD transform maps current-frame coords to the matched frame's
         # coords (both world-ish but drift-apart): a relative pose between

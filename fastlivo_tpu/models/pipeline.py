@@ -340,6 +340,7 @@ class LivoPipeline:
                 self.gnss.load_rtk_file(cfg.gnss.rtk_file)
         self.first_scan = True
         self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
+        self._last_vio_img = None  # most recent camera frame (loop verify)
         # Failure detection (SURVEY.md section 5: the reference only has
         # timestamp-loopback reset + the disabled degeneracy guard; here
         # update health is monitored and anomalous updates are rejected).
@@ -448,7 +449,8 @@ class LivoPipeline:
         if self.loop_backend is not None:
             wc = np.asarray(self.world_cloud)[np.asarray(self.world_mask)]
             self.loop_backend.on_scan(
-                np.asarray(self.state.rot), pos, wc, stamp=t_abs
+                np.asarray(self.state.rot), pos, wc, stamp=t_abs,
+                img=self._last_vio_img,
             )
         self.trajectory.append((t_abs, pos, quat))
         return info
@@ -495,6 +497,7 @@ class LivoPipeline:
             self._advance(scan)
             return None
         img = jnp.asarray(img, self.dtype)
+        self._last_vio_img = np.asarray(img)
         self.state, self.visual_map, info = self._vio_step(
             self.state,
             self.visual_map,

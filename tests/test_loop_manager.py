@@ -68,3 +68,57 @@ def test_loop_backend_corrects_drift():
 def test_loop_backend_background_thread():
     be, _ = run_backend(background=True)
     assert len(be.loops) >= 1
+
+
+def test_visual_gate_rejects_mismatched_images():
+    """With visual verification enabled and photometrically unrelated frames,
+    the loop is rejected; with matching frames it passes."""
+    import jax
+    import jax.numpy as jnp
+    from fastlivo_tpu.io import render
+    from fastlivo_tpu.ops.camera import Pinhole
+
+    cam = Pinhole(width=320, height=256, fx=200.0, fy=200.0, cx=160.0, cy=128.0)
+    base = Rotation.from_euler("x", -90, degrees=True).as_matrix()
+    jrender = jax.jit(render.render_room, static_argnames="cam")
+
+    def img_at(pos):
+        rcw = np.asarray(base).T
+        pcw = -rcw @ np.asarray(pos)
+        return np.asarray(jrender(cam, jnp.asarray(rcw, jnp.float32), jnp.asarray(pcw, jnp.float32)))
+
+    cfg = FastLivoConfig()
+    cfg.loop.loop_en = True
+    cfg.loop.sub_frame_num = 5
+    cfg.loop.skip_near_num = 1
+    cfg.loop.corner_thre = 6.0
+    cfg.loop.icp_threshold = 0.3
+    cfg.loop.visual_verify_en = True
+    cfg.keyframe.trans_thresh_m = 0.5
+
+    def run(second_img):
+        be = LoopBackend(cfg, background=False)
+        rng = np.random.default_rng(3)
+        place = make_structured_scene(rng, n=25000)
+        img1 = img_at([0.0, 0.0, 0.0])
+        for i in range(5):
+            be.on_scan(np.eye(3), np.array([0.6 * i, 0, 0]), place[rng.permutation(len(place))[:12000]], img=img1)
+        place2 = make_structured_scene(np.random.default_rng(9), n=25000)
+        for i in range(5):
+            be.on_scan(np.eye(3), np.array([0.6 * i, 0.2, 0]), place2[rng.permutation(len(place2))[:12000]], img=second_img)
+        be.finish()
+        return be
+
+    # same view -> loop accepted
+    be_ok = run(img_at([0.05, 0.02, 0.0]))
+    # unrelated view (rotated far away) -> rejected by the visual gate
+    far = Rotation.from_euler("x", -90, degrees=True) * Rotation.from_euler("y", 150, degrees=True)
+    rcw = np.asarray(far.as_matrix()).T
+    img_far = np.asarray(
+        jax.jit(render.render_room, static_argnames="cam")(cam, jnp.asarray(rcw, jnp.float32), jnp.asarray(-rcw @ np.array([5.0, 4.0, 0.5]), jnp.float32))
+    )
+    be_bad = run(img_far)
+    assert len(be_ok.loops) >= 1, "visual gate blocked a genuine loop"
+    assert len(be_bad.loops) == 0 and len(be_bad.rejected_loops) >= 1, (
+        len(be_bad.loops), be_bad.rejected_loops,
+    )
