@@ -43,6 +43,11 @@ class VoxelMapConfig:
     probe_depth: int = 8  # linear probe window
     nearby_type: int = 18  # 0 | 6 | 18 | 26 extra neighbor voxels for kNN
     claim_rounds: int = 4  # slot-claim arbitration rounds per insert
+    # Exponential forgetting of surfel moments on each touched-voxel insert:
+    # bounds the effective history to ~1/(1-decay) scans so planes track
+    # recent (better-registered) geometry instead of remembering transient
+    # pose error forever. 1.0 = infinite memory.
+    surfel_decay: float = 0.9
 
     def __post_init__(self):
         assert self.capacity & (self.capacity - 1) == 0, "capacity must be 2^k"
@@ -230,9 +235,18 @@ def insert(
     surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
     w = (surf_slot < cfg.capacity).astype(pts.dtype)
     pts_l = pts - voxel_corner(vox, cfg.resolution, pts.dtype)
-    surf_n = m.surf_n.at[surf_slot].add(w, mode="drop")
-    surf_s1 = m.surf_s1.at[surf_slot].add(pts_l * w[:, None], mode="drop")
-    surf_s2 = m.surf_s2.at[surf_slot].add(
+    surf_n, surf_s1, surf_s2 = m.surf_n, m.surf_s1, m.surf_s2
+    if cfg.surfel_decay < 1.0:
+        touched = jnp.zeros((cfg.capacity,), bool).at[surf_slot].set(
+            True, mode="drop"
+        )
+        g = jnp.where(touched, jnp.asarray(cfg.surfel_decay, pts.dtype), 1.0)
+        surf_n = surf_n * g
+        surf_s1 = surf_s1 * g[:, None]
+        surf_s2 = surf_s2 * g[:, None, None]
+    surf_n = surf_n.at[surf_slot].add(w, mode="drop")
+    surf_s1 = surf_s1.at[surf_slot].add(pts_l * w[:, None], mode="drop")
+    surf_s2 = surf_s2.at[surf_slot].add(
         pts_l[:, :, None] * pts_l[:, None, :] * w[:, None, None], mode="drop"
     )
     return m._replace(

@@ -76,6 +76,12 @@ class LioParams:
     cube_len: float = 2000.0
     # "point_to_plane" | "vgicp" | "surfel" (see models/lio.py LioConfig)
     measurement_model: str = "point_to_plane"
+    # EKF warm-up: skip filter updates (but keep inserting scans at the
+    # propagated pose) for this long after the first scan — the reference's
+    # INIT_TIME / flg_EKF_inited gate (laser_mapping.h:58,
+    # laser_mapping.cpp:170). Critical for the surfel model, whose voxel
+    # moments need a few scans before planes become valid.
+    init_time: float = 0.5
 
 
 @dataclass

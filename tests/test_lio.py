@@ -134,12 +134,18 @@ def test_lio_vgicp_model_recovers_pose(rng):
 def test_lio_surfel_model_recovers_pose(rng):
     """The surfel fast path (per-voxel running moments, no kNN) must also
     recover a perturbed pose."""
+    import dataclasses
+
+    # No moment decay here: the unit test feeds only two inserts, so use
+    # infinite-memory moments (the pipeline default decays at 0.9/scan).
+    map_cfg = dataclasses.replace(MAP_CFG, surfel_decay=1.0)
+    jins = jax.jit(vm.insert, static_argnames="cfg")
     world_pts = make_room(rng)
-    m = vm.make_map(MAP_CFG)
+    m = vm.make_map(map_cfg)
     # two inserts so voxels accumulate enough moment mass
-    m = jinsert(m, jnp.asarray(world_pts), jnp.ones(len(world_pts), bool), MAP_CFG)
+    m = jins(m, jnp.asarray(world_pts), jnp.ones(len(world_pts), bool), map_cfg)
     more = make_room(np.random.default_rng(3))
-    m = jinsert(m, jnp.asarray(more), jnp.ones(len(more), bool), MAP_CFG)
+    m = jins(m, jnp.asarray(more), jnp.ones(len(more), bool), map_cfg)
 
     rot_true = Rotation.from_rotvec([0.02, -0.01, 0.3]).as_matrix().astype(np.float32)
     pos_true = np.array([0.5, -0.3, 1.2], np.float32)
@@ -155,7 +161,7 @@ def test_lio_surfel_model_recovers_pose(rng):
     cfg = lio.LioConfig(max_iteration=10, measurement_model="surfel")
     post, info, _ = jax.jit(lio.lio_update, static_argnames=("map_cfg", "cfg"))(
         prior, m, jnp.asarray(scan_body), jnp.ones(len(scan_body), bool),
-        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), MAP_CFG, cfg,
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), map_cfg, cfg,
     )
     assert int(info.n_effective) > 800, int(info.n_effective)
     rot_err = Rotation.from_matrix(
