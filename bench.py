@@ -39,14 +39,16 @@ def main():
     # ~3x faster with ~3x more effective constraints (ARCHITECTURE.md).
     from fastlivo_tpu.models import lio as lio_mod
 
-    n_raw = 80000
+    # 16k budget keeps tunnel compile time well under driver timeouts;
+    # throughput at larger budgets is documented in README/ARCHITECTURE.
+    n_raw = 20000
     imu_m = 32
     cfg = pl_mod.StepConfig(
         map_cfg=vm.VoxelMapConfig(
             resolution=0.5, capacity=1 << 19, max_points=32, nearby_type=18
         ),
         lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
-        ds_capacity=65536,
+        ds_capacity=16384,
         imu_window=imu_m,
     )
     i3 = jnp.eye(3, dtype=jnp.float32)
