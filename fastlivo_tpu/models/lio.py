@@ -54,6 +54,14 @@ class LioConfig:
     vgicp_source_cov: float = 0.01  # source-point isotropic cov (m^2)
     surfel_min_points: float = 6.0
     surfel_planarity_max: float = 0.01  # plane-thickness variance gate (m^2)
+    # Update health gate (stronger than the reference's disabled degeneracy
+    # guard, laser_mapping.cpp:196-202): an update whose measurement
+    # correction |pos_posterior - pos_propagated| exceeds max_jump_m, or
+    # that produced non-finite state, is REJECTED on-device — the filter
+    # falls back to the propagated prior and the map insert is skipped so
+    # a bad posterior never pollutes the arena.
+    max_jump_m: float = 1.0
+    min_effective: int = 50  # diagnostics threshold (low-constraint counter)
 
 
 class LioInfo(NamedTuple):

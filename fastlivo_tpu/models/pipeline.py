@@ -89,6 +89,8 @@ class StepConfig:
                 converge_trans_cm=cfg.lio.converge_trans_cm,
                 filter_size_map=cfg.lio.filter_size_map,
                 measurement_model=cfg.lio.measurement_model,
+                max_jump_m=cfg.lio.max_jump_m,
+                min_effective=cfg.lio.min_effective,
             ),
             ds_leaf=cfg.lio.filter_size_surf,
             ds_capacity=cfg.lio.max_points,
@@ -121,8 +123,24 @@ def lio_scan_step(
     extra_hth: Optional[jnp.ndarray] = None,
     extra_hty: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
-) -> Tuple[NavState, vm.VoxelHashMap, lio.LioInfo]:
+) -> Tuple[
+    NavState,
+    vm.VoxelHashMap,
+    lio.LioInfo,
+    Tuple[jnp.ndarray, jnp.ndarray],
+    jnp.ndarray,
+]:
     """One full scan-end measurement update (the flagship device program).
+
+    Returns a 5-tuple: (posterior state, updated map, LioInfo,
+    (world_cloud, world_mask) for the next VIO frames, packed host summary
+    vector — see `step_summary`).
+
+    The update health gate runs ON-DEVICE: if the measurement correction
+    jumped more than `lio_cfg.max_jump_m` past the propagated prior, or the
+    posterior went non-finite, the step returns the propagated state and the
+    map/world-cloud are left untouched (insert masked off) — a rejected
+    update can never pollute the donated arena.
 
     Under shard_map (axis_name set): scan.pts/t_offs/mask arrive sharded on
     the points axis, state + map replicated. Undistortion and the residual
@@ -178,9 +196,26 @@ def lio_scan_step(
         axis_name=axis_name,
     )
 
+    # --- on-device update health gate. jump is the MEASUREMENT correction
+    # (posterior vs propagated prior), not total motion over the window, so
+    # fast platforms don't trip it (ADVICE r1). Rejection selects the
+    # propagated state and masks the map insert off.
+    jump = jnp.linalg.norm(posterior.pos - state_prop.pos)
+    finite = jnp.all(jnp.isfinite(posterior.pos)) & jnp.all(
+        jnp.isfinite(posterior.cov)
+    )
+    accept = finite & (jump <= cfg.lio_cfg.max_jump_m)
+    posterior = jax.tree.map(
+        lambda a, b: jnp.where(accept, a, b), posterior, state_prop
+    )
+
     _, p_w = lio.transform_to_world(
         ds_pts, posterior.rot, posterior.pos, rot_il, t_il
     )
+    # Zero out a rejected scan's world cloud so downstream consumers (VIO,
+    # loop backend) never see points registered with a rejected pose.
+    ds_mask = ds_mask & accept
+    p_w = jnp.where(jnp.isfinite(p_w), p_w, 0.0)
     if cfg.lio_cfg.measurement_model == "surfel":
         # Surfel mode skips the per-iteration kNN, but the map-insert gate
         # still needs real neighbors: without it every scan re-inserts
@@ -204,21 +239,21 @@ def lio_scan_step(
 
     # World cloud for the next VIO frames (the reference's pcl_wait_pub,
     # laser_mapping.cpp:270-274).
-    return posterior, lidar_map, info, (p_w, ds_mask), step_summary(state, posterior, info)
+    summary = step_summary(posterior, info, jump, accept)
+    return posterior, lidar_map, info, (p_w, ds_mask), summary
 
 
-def step_summary(state_in: NavState, state_out: NavState, info) -> jnp.ndarray:
+def step_summary(
+    state_out: NavState, info, jump: jnp.ndarray, accept: jnp.ndarray
+) -> jnp.ndarray:
     """Pack everything the host loop reads per scan into ONE small vector:
-    [pos(3), quat wxyz(4), n_eff, jump_m, finite, res_mean] — a single
+    [pos(3), quat wxyz(4), n_eff, jump_m, accepted, res_mean] — a single
     device->host fetch instead of six (each fetch is a full round trip,
-    which dominates when the device is remote)."""
+    which dominates when the device is remote). jump_m is the measurement
+    correction |pos_posterior - pos_propagated|."""
     from fastlivo_tpu.ops import so3 as so3_ops
 
     q = so3_ops.rot_to_quat(state_out.rot)
-    jump = jnp.linalg.norm(state_out.pos - state_in.pos)
-    finite = (
-        jnp.all(jnp.isfinite(state_out.pos)) & jnp.all(jnp.isfinite(state_out.cov))
-    ).astype(state_out.pos.dtype)
     return jnp.concatenate(
         [
             state_out.pos,
@@ -227,7 +262,7 @@ def step_summary(state_in: NavState, state_out: NavState, info) -> jnp.ndarray:
                 [
                     info.n_effective.astype(state_out.pos.dtype),
                     jump,
-                    finite,
+                    accept.astype(state_out.pos.dtype),
                     info.res_mean,
                 ]
             ),
@@ -358,8 +393,7 @@ class LivoPipeline:
         # timestamp-loopback reset + the disabled degeneracy guard; here
         # update health is monitored and anomalous updates are rejected).
         self.health = {"rejected": 0, "low_constraint": 0, "resets": 0}
-        self._min_effective = 50
-        self._max_jump_m = 1.0
+        self._min_effective = self.step_cfg.lio_cfg.min_effective
         # Last completed scan's world cloud (the reference's pcl_wait_pub).
         self.world_cloud = jnp.zeros((self.step_cfg.ds_capacity, 3), dtype)
         self.world_mask = jnp.zeros((self.step_cfg.ds_capacity,), bool)
@@ -419,7 +453,7 @@ class LivoPipeline:
             self.first_scan = False
             return None
 
-        prev_state = self.state
+        prev_cloud, prev_cloud_mask = self.world_cloud, self.world_mask
         extra = None
         if self.gnss is not None:
             # Linearize the GNSS block at the propagated prior (the
@@ -451,24 +485,18 @@ class LivoPipeline:
         # One device->host fetch for everything the host loop needs.
         s = np.asarray(summary)
         pos, quat = s[0:3], s[3:7]
-        n_eff, jump, finite = int(s[7]), float(s[8]), bool(s[9] > 0.5)
+        n_eff, accepted = int(s[7]), bool(s[9] > 0.5)
 
-        # --- update health gate: a diverged or unconstrained update must
-        # not corrupt the filter. Reject it and fall back to propagation
-        # (the reference's equivalents: the disabled degeneracy guard
-        # laser_mapping.cpp:196-202 and VIO's rollback-on-error-increase).
+        # Health bookkeeping — the gate itself already ran ON-DEVICE (see
+        # lio_scan_step): a rejected update returned the propagated state
+        # and left the map untouched. Here only counters + the world-cloud
+        # rollback (keep the last accepted scan's cloud for VIO/loop).
         if n_eff < self._min_effective:
             self.health["low_constraint"] += 1
-        if not finite or jump > self._max_jump_m:
+        if not accepted:
             self.health["rejected"] += 1
-            prop, _ = self._propagate(
-                prev_state, scan.imu, scan.t_end, scan.acc_scale
-            )
-            self.state = prop
             self.health["resets"] += 1
-            q = np.asarray(so3.rot_to_quat(self.state.rot))
-            pos = np.asarray(self.state.pos)
-            quat = q
+            self.world_cloud, self.world_mask = prev_cloud, prev_cloud_mask
 
         if self.loop_backend is not None:
             wc = np.asarray(self.world_cloud)[np.asarray(self.world_mask)]

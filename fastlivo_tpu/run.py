@@ -117,9 +117,14 @@ def run_log(
                 scan_input = scan_input._replace(
                     acc_scale=jnp.float32(pipe.acc_scale)
                 )
-            if group.is_lidar_end and n_scans < skip_scans:
-                # resumed: groups before the checkpoint only advance sync
-                n_scans += 1
+            if n_scans < skip_scans:
+                # Resumed: ALL groups before the checkpoint (scan-end AND
+                # image-bounded) only advance the sync stream — re-applying
+                # pre-checkpoint VIO updates to the restored state would
+                # diverge from the original run. Only scan-end groups count
+                # toward the scan counter (matching checkpoint meta).
+                if group.is_lidar_end:
+                    n_scans += 1
                 continue
             if group.is_lidar_end:
                 with timer.stage("lio_step"):

@@ -82,6 +82,13 @@ class LioParams:
     # laser_mapping.cpp:170). Critical for the surfel model, whose voxel
     # moments need a few scans before planes become valid.
     init_time: float = 0.5
+    # Update health gate (on-device; see models/lio.py LioConfig): reject a
+    # measurement correction larger than this (m). Raise for aggressive
+    # platforms where a single update may legitimately correct more.
+    max_jump_m: float = 1.0
+    # Below this many effective constraints, count the scan as
+    # low-constraint in pipeline health diagnostics.
+    min_effective: int = 50
 
 
 @dataclass

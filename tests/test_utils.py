@@ -121,8 +121,15 @@ def test_health_gate_rejects_divergence(rng):
     pipe.process_scan(make_scan(room), 0.1)  # bootstrap
     pipe.process_scan(make_scan(room), 0.2)  # normal update
     p_before = np.asarray(pipe.state.pos).copy()
+    map_pts_before = int(np.asarray(pipe.map.counts).sum())
+    cloud_before = np.asarray(pipe.world_cloud).copy()
     # corrupted scan: all points shifted 5 m -> would yield a huge jump
     pipe.process_scan(make_scan(room + np.float32([5.0, 0, 0])), 0.3)
     jump = np.linalg.norm(np.asarray(pipe.state.pos) - p_before)
     assert jump < 1.5, jump
     assert pipe.health["rejected"] >= 1 or jump < 1.0
+    if pipe.health["rejected"] >= 1:
+        # A rejected update must leave the map arena and the world cloud
+        # untouched (ADVICE r1): no misregistered points may persist.
+        assert int(np.asarray(pipe.map.counts).sum()) == map_pts_before
+        np.testing.assert_array_equal(np.asarray(pipe.world_cloud), cloud_before)
