@@ -47,12 +47,21 @@ def classify_features(
 
     rng = np.linalg.norm(pts, axis=1)
     # curvature: squared norm of the neighborhood sum minus (2w+1) x self
-    # (the LOAM statistic), normalized by range so it is scale-free.
+    # (the LOAM statistic), normalized by the LOCAL sampling scale
+    # ((2w+1) x windowed point spacing) so it is dimensionless with respect
+    # to both range and point density: a straight segment gives ~0, a sharp
+    # corner gives O(1) regardless of how far away or finely sampled it is.
     acc = np.zeros((n, 3))
     for dv in range(-window, window + 1):
         acc += np.roll(pts, dv, axis=0)
     diff = acc - (2 * window + 1) * pts
-    curv = np.sum(diff**2, axis=1) / np.maximum(rng, 1e-6) ** 2
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    seg = np.concatenate([seg[:1], seg])
+    spacing = np.convolve(
+        seg, np.ones(2 * window + 1) / (2 * window + 1), mode="same"
+    )
+    scale = (2 * window + 1) * np.maximum(spacing, 1e-9)
+    curv = np.sum(diff**2, axis=1) / scale**2
     curv[:window] = np.inf
     curv[-window:] = np.inf
 
@@ -61,11 +70,18 @@ def classify_features(
     dr_prev = np.abs(np.diff(rng, prepend=rng[0]))
     gap = np.maximum(dr_next, dr_prev)
     # occlusion test: an edge whose far side is >jump_ratio x nearer range
-    # step is likely an occlusion boundary, not structure
+    # step is likely an occlusion boundary, not structure. The whole
+    # curvature window around an occlusion is tainted (its curvature spike
+    # comes from the jump, not geometry), so dilate the mask by the window
+    # (parity with give_feature suppressing jump neighborhoods,
+    # preprocess.cpp:1117-1160).
     occluded = gap > jump_ratio * np.minimum(rng, np.roll(rng, -1))
+    occ_dilated = occluded.copy()
+    for dv in range(-window, window + 1):
+        occ_dilated |= np.roll(occluded, dv)
 
     plane_mask = (curv < plane_curvature_max) & np.isfinite(curv)
-    edge_cand = (curv > edge_curvature_min) & np.isfinite(curv) & ~occluded
+    edge_cand = (curv > edge_curvature_min) & np.isfinite(curv) & ~occ_dilated
 
     # per-segment caps (reference splits each line into 6 segments)
     edge_mask = np.zeros(n, bool)
