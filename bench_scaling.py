@@ -1,15 +1,23 @@
-"""Weak-scaling harness for the sharded LIO step.
+"""Weak-scaling harness for the two SPMD modes of the LIO step.
 
-BASELINE.json's north star asks for nnz/s scaling efficiency at N devices.
-Real multi-chip hardware is not available in this environment, so this
-harness runs the SPMD program on an N-virtual-device CPU mesh: it validates
-that the sharded program's *work partitioning* scales (per-device point
-count constant as devices grow) and reports wall-clock weak-scaling
-efficiency. CPU-mesh timings share one physical socket, so the efficiency
-number here is a lower bound sanity check, not an ICI measurement — on a
-TPU slice the only cross-device traffic is two 18x18 psums and two
-scan-sized all-gathers per iteration (~100 KB), far under ICI bandwidth at
-10 Hz scan rate.
+BASELINE.json's north star asks for nnz/s scaling efficiency at N devices
+and a row/block-partitioned map. Real multi-chip hardware is not available
+in this environment, so this harness runs the SPMD programs on an
+N-virtual-device CPU mesh. CPU-mesh timings share one physical socket, so
+the efficiency numbers are a lower-bound sanity check of the *work
+partitioning*, not an ICI measurement.
+
+Two experiments:
+
+1. **points**: scan budget grows with devices, map replicated (the
+   residual-compute scaling mode). Efficiency = throughput(N) / (N *
+   throughput(1)) at constant per-device point count.
+2. **map**: scan budget FIXED, sharded arena — per-device voxel capacity
+   constant, global capacity and scene extent grow with devices (bigger
+   environments at the same sensor rate; the reference's iVox scaling
+   axis, include/ivox3d/ivox3d.h:37-105). Efficiency = throughput(N) /
+   throughput(1); per-device map memory is reported to show it stays
+   constant.
 
 Usage: python bench_scaling.py [max_devices]
 """
@@ -26,21 +34,75 @@ os.environ["XLA_FLAGS"] = (
 )
 
 
-def main():
+def _room_scan(rng, n, extent, imu_m):
+    """Box-face scene scaled to `extent` so occupancy grows with capacity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastlivo_tpu.models import pipeline as pl_mod
+    from fastlivo_tpu.models.imu import ImuWindow
+
+    per = n // 5
+    pts = []
+    h = extent / 2
+    for face in range(5):
+        u = rng.uniform(-h, h, size=(per, 2))
+        if face == 0:
+            p = np.stack([u[:, 0], u[:, 1], np.full(per, -1.5)], 1)
+        else:
+            axis, val = [(0, -h), (0, h), (1, -h), (1, h)][face - 1]
+            p = np.zeros((per, 3))
+            p[:, axis] = val
+            p[:, 1 - axis] = u[:, 0]
+            p[:, 2] = u[:, 1] + 2
+        pts.append(p)
+    w = np.concatenate(pts)
+    pad = n - len(w)
+    if pad:
+        w = np.concatenate([w, w[:pad]])
+    return pl_mod.ScanInput(
+        pts=jnp.asarray(w.astype(np.float32)),
+        t_offs=jnp.asarray(np.sort(rng.uniform(0, 0.1, n)).astype(np.float32)),
+        mask=jnp.ones(n, bool),
+        imu=ImuWindow(
+            stamps=jnp.asarray(np.linspace(0, 0.1, imu_m), jnp.float32),
+            gyr=jnp.asarray(np.tile([0.0, 0.0, 0.05], (imu_m, 1)), jnp.float32),
+            acc=jnp.asarray(np.tile([0.1, 0.0, 9.81], (imu_m, 1)), jnp.float32),
+            mask=jnp.ones(imu_m, bool),
+        ),
+        t_end=jnp.float32(0.1),
+        acc_scale=jnp.float32(1.0),
+    )
+
+
+def _bench_step(step, state, m, sscan, i3, z3, n_rep=10):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+    st, mm, *_ = step(state, m, sscan, i3, z3)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        st, mm, info, _, _ = step(st, mm, sscan, i3, z3)
+    jax.block_until_ready(st)
+    return (time.perf_counter() - t0) / n_rep
 
-    import __graft_entry__ as ge
+
+def points_weak_scaling(max_dev):
+    """Experiment 1: per-device scan work constant, map replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from fastlivo_tpu import parallel
     from fastlivo_tpu.maps import voxel_map as vm
     from fastlivo_tpu.models import pipeline as pl_mod
+    from fastlivo_tpu.state import NavState
 
-    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    per_device_pts = 2048  # weak scaling: constant work per device
+    per_device_pts = 2048
     results = {}
     base = None
+    i3 = jnp.eye(3, dtype=jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
     for ndev in [1, 2, 4, 8]:
         if ndev > max_dev or ndev > len(jax.devices()):
             break
@@ -51,25 +113,17 @@ def main():
             ds_capacity=per_device_pts * ndev,
             imu_window=16,
         )
-        state, m, scan = ge._make_inputs(
-            per_device_pts * ndev * 2, 16, cfg.map_cfg, cfg.ds_capacity
+        rng = np.random.default_rng(0)
+        scan = _room_scan(rng, per_device_pts * ndev * 2, 16.0, 16)
+        state = NavState.identity()._replace(cov=jnp.eye(18) * 1e-4)
+        m = vm.make_map(cfg.map_cfg)
+        m = jax.jit(pl_mod.bootstrap_map, static_argnames=("cfg", "axis_name"))(
+            m, scan, state, i3, z3, cfg
         )
-        i3 = jnp.eye(3, dtype=jnp.float32)
-        z3 = jnp.zeros(3, jnp.float32)
-        m = pl_mod.bootstrap_map(m, scan, state, i3, z3, cfg)
         mesh = parallel.make_mesh(ndev)
         step = parallel.make_sharded_lio_step(mesh, cfg)
         sscan = parallel.shard_scan(scan, mesh)
-
-        out = step(state, m, sscan, i3, z3)
-        jax.block_until_ready(out[0])
-        n_rep = 10
-        t0 = time.perf_counter()
-        st, mm = state, out[1]
-        for _ in range(n_rep):
-            st, mm, info, _, _ = step(st, mm, sscan, i3, z3)
-        jax.block_until_ready(st)
-        dt = (time.perf_counter() - t0) / n_rep
+        dt = _bench_step(step, state, m, sscan, i3, z3)
         pts_s = cfg.ds_capacity / dt
         if base is None:
             base = pts_s
@@ -78,8 +132,84 @@ def main():
             "weak_scaling_efficiency": round(pts_s / (base * ndev), 3),
             "per_step_ms": round(dt * 1e3, 2),
         }
-        print(f"devices={ndev}: {results[ndev]}")
-    print(json.dumps({"metric": "weak_scaling", "results": results}))
+        print(f"[points] devices={ndev}: {results[ndev]}", flush=True)
+    return results
+
+
+def map_weak_scaling(max_dev):
+    """Experiment 2: fixed scan budget, sharded arena, environment and
+    global map capacity grow with devices; per-device map memory constant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastlivo_tpu import parallel
+    from fastlivo_tpu.maps import voxel_map as vm
+    from fastlivo_tpu.models import lio as lio_mod
+    from fastlivo_tpu.models import pipeline as pl_mod
+    from fastlivo_tpu.state import NavState
+
+    ds_cap = 4096
+    local_capacity = 1 << 14
+    results = {}
+    base = None
+    i3 = jnp.eye(3, dtype=jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+    for ndev in [1, 2, 4, 8]:
+        if ndev > max_dev or ndev > len(jax.devices()):
+            break
+        cfg = pl_mod.StepConfig(
+            map_cfg=vm.VoxelMapConfig(
+                resolution=0.25, capacity=local_capacity, max_points=16,
+                nearby_type=18,
+            ),
+            lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
+            ds_capacity=ds_cap,
+            imu_window=16,
+            ds_leaf=0.12,
+            map_sharded=True,
+        )
+        rng = np.random.default_rng(0)
+        extent = 12.0 * np.sqrt(ndev)  # occupied voxels grow ~linearly
+        scan = _room_scan(rng, ds_cap * 2, extent, 16)
+        state = NavState.identity()._replace(cov=jnp.eye(18) * 1e-4)
+        mesh = parallel.make_mesh(ndev)
+        m = parallel.make_sharded_map(cfg.map_cfg, mesh)
+        boot = parallel.make_sharded_bootstrap(mesh, cfg)
+        sscan = parallel.shard_scan(scan, mesh)
+        m = boot(m, sscan, state, i3, z3)
+        step = parallel.make_sharded_lio_step(mesh, cfg)
+        dt = _bench_step(step, state, m, sscan, i3, z3)
+        pts_s = ds_cap / dt
+        if base is None:
+            base = pts_s
+        per_dev_mb = sum(
+            x.nbytes for x in jax.tree.leaves(vm.make_map(cfg.map_cfg))
+        ) / 1e6
+        results[ndev] = {
+            "points_per_sec": round(pts_s, 1),
+            "map_weak_scaling_efficiency": round(pts_s / base, 3),
+            "per_step_ms": round(dt * 1e3, 2),
+            "global_capacity": local_capacity * ndev,
+            "per_device_map_mb": round(per_dev_mb, 1),
+        }
+        print(f"[map] devices={ndev}: {results[ndev]}", flush=True)
+    return results
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    points = points_weak_scaling(max_dev)
+    maps = map_weak_scaling(max_dev)
+    print(
+        json.dumps(
+            {"metric": "weak_scaling", "points_sharded": points,
+             "map_sharded": maps}
+        )
+    )
 
 
 if __name__ == "__main__":

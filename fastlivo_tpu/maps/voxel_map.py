@@ -107,6 +107,29 @@ def _hash(vox: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return h & (capacity - 1)
 
 
+# Independent prime set for the shard-ownership hash: must be uncorrelated
+# with the slot hash so per-shard occupancy stays uniform.
+_HP_OWNER = (73856093, 19349669, 83492791)
+
+
+def owner_of(vox: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Shard owner of each (..., 3) voxel coord, in [0, n_shards).
+
+    Voxel ownership is hash-partitioned across devices: every voxel (its
+    slab, LRU stamp, and surfel moments) lives on exactly ONE device, so
+    per-device map memory is capacity_local = capacity_global / n_shards
+    and moments never split across shards. See `fastlivo_tpu.parallel` for
+    the lookup/insert collectives built on this.
+    """
+    h = (
+        vox[..., 0] * _HP_OWNER[0]
+        ^ vox[..., 1] * _HP_OWNER[1]
+        ^ vox[..., 2] * _HP_OWNER[2]
+    )
+    # int32 -> non-negative before mod (n_shards need not be a power of 2)
+    return (h & 0x7FFFFFFF) % n_shards
+
+
 def probe(
     m: VoxelHashMap, vox: jnp.ndarray, cfg: VoxelMapConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -327,21 +350,33 @@ def knn(
     return best_pts, best_d2, valid
 
 
-def surfel_lookup(
+class SurfelResult(NamedTuple):
+    """Per-query surfel plane + confidence info.
+
+    min_eig (plane-thickness variance) and n_pts (accumulated moment count)
+    feed the measurement-noise inflation in the surfel innovation: young /
+    thick surfels get downweighted instead of hard-gated (ROADMAP item 0).
+    """
+
+    normal: jnp.ndarray  # (N, 3) unit plane normal (0 when invalid)
+    d: jnp.ndarray  # (N,) plane offset: n.x + d = 0
+    valid: jnp.ndarray  # (N,) bool
+    min_eig: jnp.ndarray  # (N,) smallest covariance eigenvalue
+    n_pts: jnp.ndarray  # (N,) accumulated moment count of the voxel
+
+
+def surfel_candidate(
     m: VoxelHashMap,
     queries: jnp.ndarray,
     cfg: VoxelMapConfig,
     min_points: float = 6.0,
-    planarity_max: float = 0.01,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-query surfel plane from the running voxel moments — the
-    Surfel-LIO-style fast path: NO kNN, NO per-scan plane fits; one probe
-    per stencil voxel + a batched 3x3 eigendecomposition.
+    """Pick, among the query voxel and its 6 face neighbors, the populated
+    voxel (>= min_points moments) whose mean is nearest the query.
 
-    Picks, among the query voxel and its 6 face neighbors, the populated
-    voxel whose mean is nearest to the query. Returns (normal (N,3),
-    d (N,), valid (N,)) with valid requiring >= min_points accumulated and
-    smallest eigenvalue (plane thickness variance) <= planarity_max.
+    Returns (best_d2, best_slot, has). Probes only THIS arena — under map
+    sharding each device calls this on its local shard and the results are
+    merged across devices by min best_d2 (parallel.sharded_surfel_lookup).
     """
     n = queries.shape[0]
     dtype = queries.dtype
@@ -366,12 +401,24 @@ def surfel_lookup(
         best_d2 = jnp.where(better, d2, best_d2)
         best_slot = jnp.where(better, slot, best_slot)
         has = has | (better & ok)
+    return best_d2, best_slot, has
 
-    cnt = jnp.maximum(m.surf_n[best_slot], 1.0)
-    mean_l = m.surf_s1[best_slot] / cnt[:, None]
-    mean = mean_l + voxel_corner(m.keys[best_slot], cfg.resolution, dtype)
+
+def surfel_plane(
+    m: VoxelHashMap,
+    slot: jnp.ndarray,
+    has: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    planarity_max: float = 0.01,
+) -> SurfelResult:
+    """Plane parameters from a voxel slot's running moments: mean +
+    smallest-eigenvector normal of the moment covariance."""
+    dtype = m.points.dtype
+    cnt = jnp.maximum(m.surf_n[slot], 1.0)
+    mean_l = m.surf_s1[slot] / cnt[:, None]
+    mean = mean_l + voxel_corner(m.keys[slot], cfg.resolution, dtype)
     cov = (
-        m.surf_s2[best_slot] / cnt[:, None, None]
+        m.surf_s2[slot] / cnt[:, None, None]
         - mean_l[:, :, None] * mean_l[:, None, :]
     )
     cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
@@ -384,7 +431,144 @@ def surfel_lookup(
     valid = has & (min_eig <= planarity_max)
     normal = jnp.where(valid[:, None], normal, 0.0)
     d = jnp.where(valid, d, 0.0)
-    return normal, d, valid
+    return SurfelResult(
+        normal=normal, d=d, valid=valid,
+        min_eig=jnp.where(has, min_eig, jnp.inf),
+        n_pts=m.surf_n[slot] * has.astype(dtype),
+    )
+
+
+def surfel_lookup(
+    m: VoxelHashMap,
+    queries: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    min_points: float = 6.0,
+    planarity_max: float = 0.01,
+) -> SurfelResult:
+    """Per-query surfel plane from the running voxel moments — the
+    Surfel-LIO-style fast path: NO kNN, NO per-scan plane fits; one probe
+    per stencil voxel + a batched 3x3 eigendecomposition.
+    """
+    _, best_slot, has = surfel_candidate(m, queries, cfg, min_points)
+    return surfel_plane(m, best_slot, has, cfg, planarity_max)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-arena collectives (map partitioned across a mesh axis)
+#
+# Voxel ownership is hash-partitioned (`owner_of`): each device's local
+# arena stores ONLY the voxels it owns, so per-device map memory is
+# capacity_global / n_devices and grows with the mesh — the reference's
+# central scaling structure (include/ivox3d/ivox3d.h:37-105) lifted to a
+# device mesh. Queries are replicated (the scan is ~100s of KB); each
+# device resolves lookups against its shard (non-owned voxels are simply
+# absent from its table) and results are merged with collectives:
+#   surfel:   min-reduction on candidate distance (2 pmins + 1 psum)
+#   kNN:      all_gather of per-shard top-k + local re-top-k
+# Inserts are shard-local: each device scatters only the points whose
+# voxel it owns. This is the "halo exchange" of the BASELINE north star in
+# its TPU-native form: instead of exchanging boundary voxels (meaningless
+# under hash partitioning), the small query set is replicated and the
+# per-shard partial results ride one fused all-reduce over ICI.
+# ---------------------------------------------------------------------------
+
+
+def owned_mask(
+    pts: jnp.ndarray, resolution: float, axis_name: str
+) -> jnp.ndarray:
+    """True for points whose voxel this device owns."""
+    vox = voxel_coord(pts, resolution)
+    ndev = jax.lax.axis_size(axis_name)
+    return owner_of(vox, ndev) == jax.lax.axis_index(axis_name)
+
+
+def sharded_insert(
+    m: VoxelHashMap,
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    axis_name: str,
+) -> VoxelHashMap:
+    """Shard-local insert: every device sees the FULL gated scan (pts/mask
+    replicated) and scatters only its owned voxels into its local arena."""
+    return insert(m, pts, mask & owned_mask(pts, cfg.resolution, axis_name), cfg)
+
+
+def sharded_surfel_lookup(
+    m: VoxelHashMap,
+    queries: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    axis_name: str,
+    min_points: float = 6.0,
+    planarity_max: float = 0.01,
+) -> SurfelResult:
+    """Surfel lookup over a sharded arena. `queries` must be REPLICATED
+    across the axis; the result is replicated too.
+
+    Each device finds its best local candidate voxel and computes its plane
+    locally (only the owner has the voxel's moments); the global winner per
+    query is the candidate with minimal mean-distance, merged with two
+    pmins (value + owner tie-break) and one psum of the winner's payload.
+    """
+    n = queries.shape[0]
+    dtype = queries.dtype
+    best_d2, best_slot, has = surfel_candidate(m, queries, cfg, min_points)
+    res = surfel_plane(m, best_slot, has, cfg, planarity_max)
+
+    d2m = jnp.where(has, best_d2, jnp.inf)
+    gmin = jax.lax.pmin(d2m, axis_name)
+    ndev = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    # Tie-break equal distances deterministically by lowest device index
+    # (two shards can't own the same voxel, but two distinct voxels can tie).
+    contender = jnp.where((d2m == gmin) & has, my, ndev)
+    gidx = jax.lax.pmin(contender, axis_name)
+    win = (contender == gidx) & (gidx < ndev)
+
+    payload = jnp.concatenate(
+        [
+            res.normal,
+            res.d[:, None],
+            res.valid.astype(dtype)[:, None],
+            jnp.where(jnp.isfinite(res.min_eig), res.min_eig, 0.0)[:, None],
+            res.n_pts[:, None],
+        ],
+        axis=1,
+    )
+    payload = jnp.where(win[:, None], payload, 0.0)
+    merged = jax.lax.psum(payload, axis_name)
+    any_win = jax.lax.psum(win.astype(jnp.int32), axis_name) > 0
+    return SurfelResult(
+        normal=merged[:, 0:3],
+        d=merged[:, 3],
+        valid=(merged[:, 4] > 0.5) & any_win,
+        min_eig=jnp.where(any_win, merged[:, 5], jnp.inf),
+        n_pts=merged[:, 6],
+    )
+
+
+def sharded_knn(
+    m: VoxelHashMap,
+    queries: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    axis_name: str,
+    k: int = 5,
+    max_dist2: float = 25.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN over a sharded arena. `queries` replicated across the axis;
+    result replicated. Per-shard top-k then an all_gather + re-top-k merge
+    (k*ndev candidates/query ride the interconnect, not raw slabs)."""
+    pts_l, d2_l, _ = knn(m, queries, cfg, k=k, max_dist2=max_dist2)
+    # (ndev, N, k...) -> (N, ndev*k...)
+    d2_all = jnp.moveaxis(jax.lax.all_gather(d2_l, axis_name), 0, 1)
+    pts_all = jnp.moveaxis(jax.lax.all_gather(pts_l, axis_name), 0, 1)
+    n = queries.shape[0]
+    d2_all = d2_all.reshape(n, -1)
+    pts_all = pts_all.reshape(n, -1, 3)
+    neg_top, idx = jax.lax.top_k(-d2_all, k)
+    best_d2 = -neg_top
+    best_pts = jnp.take_along_axis(pts_all, idx[:, :, None], axis=1)
+    return best_pts, best_d2, best_d2 <= max_dist2
 
 
 def num_occupied(m: VoxelHashMap) -> jnp.ndarray:

@@ -54,6 +54,13 @@ class LioConfig:
     vgicp_source_cov: float = 0.01  # source-point isotropic cov (m^2)
     surfel_min_points: float = 6.0
     surfel_planarity_max: float = 0.01  # plane-thickness variance gate (m^2)
+    # Per-surfel confidence weighting (ROADMAP item 0): inflate the
+    # measurement variance by the surfel's own uncertainty,
+    #   R_i = laser_point_cov + min_eig * (1 + 3/n)
+    # (plane-thickness variance + mean-estimate variance), so young or
+    # thick surfels are downweighted smoothly instead of trusted at full
+    # strength — the fix for surfel+VIO interleaving instability.
+    surfel_conf_weight: bool = True
     # Update health gate (stronger than the reference's disabled degeneracy
     # guard, laser_mapping.cpp:196-202): an update whose measurement
     # correction |pos_posterior - pos_propagated| exceeds max_jump_m, or
@@ -231,14 +238,28 @@ def _innovation_surfel(
     map_cfg: vm.VoxelMapConfig,
     cfg: LioConfig,
     axis_name: str | None = None,
+    map_axis: str | None = None,
 ):
     """Point-to-surfel innovation: identical residual/Jacobian structure to
     point-to-plane, but the plane comes from the voxel's running moments
-    (vm.surfel_lookup) instead of a kNN gather + per-scan fit."""
+    (vm.surfel_lookup) instead of a kNN gather + per-scan fit.
+
+    With `map_axis` set the arena is sharded across that mesh axis and the
+    lookup is the collective-merged variant; pts_body must then be the full
+    REPLICATED scan and no innovation psum runs (every device computes the
+    identical full innovation)."""
     p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
-    normal, d, surf_ok = vm.surfel_lookup(
-        lidar_map, p_w, map_cfg, cfg.surfel_min_points, cfg.surfel_planarity_max
-    )
+    if map_axis is not None:
+        surf = vm.sharded_surfel_lookup(
+            lidar_map, p_w, map_cfg, map_axis,
+            cfg.surfel_min_points, cfg.surfel_planarity_max,
+        )
+    else:
+        surf = vm.surfel_lookup(
+            lidar_map, p_w, map_cfg,
+            cfg.surfel_min_points, cfg.surfel_planarity_max,
+        )
+    normal, d, surf_ok = surf.normal, surf.d, surf.valid
 
     pd2 = jnp.sum(normal * p_w, axis=-1) + d
     body_norm = jnp.linalg.norm(pts_body, axis=-1)
@@ -252,7 +273,16 @@ def _innovation_surfel(
     h = jnp.concatenate([a, normal], axis=-1)
     h = jnp.where(valid[:, None], h, 0.0)
     pd2_c = jnp.where(valid, pd2, 0.0)
-    w = valid.astype(pts_body.dtype) / cfg.laser_point_cov
+    if cfg.surfel_conf_weight:
+        # R_i = sensor cov + surfel plane-thickness variance + mean-estimate
+        # variance: immature/thick surfels contribute weak constraints.
+        min_eig = jnp.where(jnp.isfinite(surf.min_eig), surf.min_eig, 0.0)
+        r_i = cfg.laser_point_cov + min_eig * (
+            1.0 + 3.0 / jnp.maximum(surf.n_pts, 1.0)
+        )
+    else:
+        r_i = jnp.asarray(cfg.laser_point_cov, pts_body.dtype)
+    w = valid.astype(pts_body.dtype) / r_i
     hth = jnp.einsum("ni,nj->ij", h * w[:, None], h)
     hty = jnp.einsum("ni,n->i", h, w * (-pd2_c))
 
@@ -286,6 +316,7 @@ def lio_update(
     extra_hth: jnp.ndarray | None = None,
     extra_hty: jnp.ndarray | None = None,
     axis_name: str | None = None,
+    map_axis: str | None = None,
 ) -> Tuple[NavState, LioInfo, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One full iterated point-to-plane ESKF update.
 
@@ -295,10 +326,19 @@ def lio_update(
       pts_body: (N, 3) downsampled, undistorted scan in the LiDAR frame.
       extra_hth/extra_hty: optional additional 18x18 / 18 innovation blocks
         (GNSS observation, reference laser_mapping.cpp:616-621).
+      axis_name: mesh axis over which pts_body is SHARDED (replicated map);
+        innovations are psummed over it.
+      map_axis: mesh axis over which lidar_map is SHARDED (hash-partitioned
+        voxel ownership); pts_body must then be the full replicated scan
+        and axis_name must be None — lookups run against the local shard
+        and merge over the axis, the innovation itself is replicated.
 
     Returns (posterior state, diagnostics, (neighbors, neighbor_valid))
     where the neighbor cache is reused by the map-insert gate.
     """
+    assert not (axis_name is not None and map_axis is not None), (
+        "points-sharded innovation and sharded map arena are exclusive modes"
+    )
     dtype = pts_body.dtype
     n = pts_body.shape[0]
     k = cfg.num_match_points
@@ -316,9 +356,15 @@ def lio_update(
                 jnp.zeros((n, k), bool),
             )
         _, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
-        nbr, _, nbr_valid = vm.knn(
-            lidar_map, p_w, map_cfg, k=k, max_dist2=cfg.max_search_dist2
-        )
+        if map_axis is not None:
+            nbr, _, nbr_valid = vm.sharded_knn(
+                lidar_map, p_w, map_cfg, map_axis, k=k,
+                max_dist2=cfg.max_search_dist2,
+            )
+        else:
+            nbr, _, nbr_valid = vm.knn(
+                lidar_map, p_w, map_cfg, k=k, max_dist2=cfg.max_search_dist2
+            )
         return nbr, nbr_valid & pts_mask[:, None]
 
     nbr0, nv0 = search(state_prop.rot, state_prop.pos)
@@ -354,7 +400,7 @@ def lio_update(
         if surfel_mode:
             hth6, hty6, n_eff, res_sum = _innovation_surfel(
                 c.rot, c.pos, pts_body, pts_mask, lidar_map, rot_il, t_il,
-                map_cfg, cfg, axis_name,
+                map_cfg, cfg, axis_name, map_axis,
             )
         else:
             innov = (

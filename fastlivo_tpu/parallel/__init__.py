@@ -5,6 +5,8 @@ from fastlivo_tpu.parallel.distributed import (  # noqa: F401
 from fastlivo_tpu.parallel.sharded import (  # noqa: F401
     POINTS_AXIS,
     make_mesh,
+    make_sharded_bootstrap,
     make_sharded_lio_step,
+    make_sharded_map,
     shard_scan,
 )
