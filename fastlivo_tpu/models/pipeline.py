@@ -51,6 +51,14 @@ class StepConfig:
     cam: Optional[Pinhole] = None
     vio_cfg: vio_mod.VioConfig = vio_mod.VioConfig()
     vm_cfg: vmap_mod.VisualMapConfig = vmap_mod.VisualMapConfig()
+    # Multi-device map mode (only meaningful when axis_name is set):
+    #   False -> map REPLICATED, scan points sharded, innovations psummed.
+    #   True  -> map arena SHARDED by hash-partitioned voxel ownership
+    #            (map_cfg.capacity is the PER-DEVICE capacity); the scan is
+    #            replicated after downsample, lookups merge over the axis,
+    #            inserts are shard-local. Per-device map memory stays
+    #            constant as the mesh grows.
+    map_sharded: bool = False
 
     @staticmethod
     def from_config(cfg: FastLivoConfig) -> "StepConfig":
@@ -66,6 +74,7 @@ class StepConfig:
                 ncc_en=cfg.vio.ncc_en,
                 ncc_thre=cfg.vio.ncc_thre,
                 levels=cfg.vio.pyr_levels,
+                exposure_en=cfg.vio.exposure_en,
             ),
             vm_cfg=vmap_mod.VisualMapConfig(
                 capacity=cfg.vio.max_visual_points,
@@ -164,6 +173,7 @@ def lio_scan_step(
         scan.pts, scan.t_offs, scan.mask, poses, state_prop, rot_il, t_il
     )
 
+    map_axis = axis_name if (axis_name is not None and cfg.map_sharded) else None
     if axis_name is None:
         ds_pts, ds_mask = voxelize.voxel_downsample(
             pts_und, scan.mask, cfg.ds_leaf, cfg.ds_capacity
@@ -176,11 +186,17 @@ def lio_scan_step(
         ds_all, ds_all_mask = voxelize.voxel_downsample(
             all_pts, all_mask, cfg.ds_leaf, cfg.ds_capacity
         )
-        ndev = jax.lax.axis_size(axis_name)
-        shard = cfg.ds_capacity // ndev
-        idx = jax.lax.axis_index(axis_name)
-        ds_pts = jax.lax.dynamic_slice_in_dim(ds_all, idx * shard, shard)
-        ds_mask = jax.lax.dynamic_slice_in_dim(ds_all_mask, idx * shard, shard)
+        if map_axis is not None:
+            # Sharded-map mode: the (small) downsampled scan stays
+            # replicated — lookups against the sharded arena need every
+            # query visible on every shard.
+            ds_pts, ds_mask = ds_all, ds_all_mask
+        else:
+            ndev = jax.lax.axis_size(axis_name)
+            shard = cfg.ds_capacity // ndev
+            idx = jax.lax.axis_index(axis_name)
+            ds_pts = jax.lax.dynamic_slice_in_dim(ds_all, idx * shard, shard)
+            ds_mask = jax.lax.dynamic_slice_in_dim(ds_all_mask, idx * shard, shard)
 
     posterior, info, (nbr, nv) = lio.lio_update(
         state_prop,
@@ -193,7 +209,8 @@ def lio_scan_step(
         cfg.lio_cfg,
         extra_hth=extra_hth,
         extra_hty=extra_hty,
-        axis_name=axis_name,
+        axis_name=None if map_axis is not None else axis_name,
+        map_axis=map_axis,
     )
 
     # --- on-device update health gate. jump is the MEASUREMENT correction
@@ -223,14 +240,24 @@ def lio_scan_step(
         # transient pose error (measured: 9 cm -> 224 cm ATE with VIO
         # interleaving). One kNN per scan is ~0.03 ms — the surfel win is
         # removing it from the iterated update, not from the gate.
-        nbr, _, nv = vm.knn(
-            lidar_map, p_w, cfg.map_cfg, k=cfg.lio_cfg.num_match_points
-        )
+        if map_axis is not None:
+            nbr, _, nv = vm.sharded_knn(
+                lidar_map, p_w, cfg.map_cfg, map_axis,
+                k=cfg.lio_cfg.num_match_points,
+            )
+        else:
+            nbr, _, nv = vm.knn(
+                lidar_map, p_w, cfg.map_cfg, k=cfg.lio_cfg.num_match_points
+            )
         nv = nv & ds_mask[:, None]
     add = lio.map_insert_gate(p_w, ds_mask, nbr, nv, cfg.lio_cfg.filter_size_map)
 
     if axis_name is None:
         lidar_map = vm.insert(lidar_map, p_w, add, cfg.map_cfg)
+    elif map_axis is not None:
+        # Sharded arena: p_w/add are already the full replicated scan;
+        # each device scatters only the voxels it owns.
+        lidar_map = vm.sharded_insert(lidar_map, p_w, add, cfg.map_cfg, map_axis)
     else:
         # Keep map replicas identical: insert the full gated scan everywhere.
         p_w_all = jax.lax.all_gather(p_w, axis_name, tiled=True)
@@ -241,6 +268,44 @@ def lio_scan_step(
     # laser_mapping.cpp:270-274).
     summary = step_summary(posterior, info, jump, accept)
     return posterior, lidar_map, info, (p_w, ds_mask), summary
+
+
+def lio_scan_multi(
+    state: NavState,
+    lidar_map: vm.VoxelHashMap,
+    scans: ScanInput,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    cfg: StepConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[
+    NavState,
+    vm.VoxelHashMap,
+    jnp.ndarray,
+    Tuple[jnp.ndarray, jnp.ndarray],
+]:
+    """K scan-end measurement updates in ONE dispatch (lax.scan over a
+    stacked batch of measurement groups).
+
+    On a remote/tunneled TPU the per-dispatch host round trip (~100-300 ms)
+    dwarfs the ~0.2 ms device compute; batching K groups amortizes it K-fold
+    (ROADMAP item 3 / VERDICT r1 item 5). `scans` is a ScanInput whose
+    leaves carry a leading K axis. Returns (posterior state, map,
+    summaries (K, 11), (world clouds (K, N, 3), masks (K, N))) — identical
+    results to K sequential `lio_scan_step` calls (regression-tested).
+    """
+
+    def body(carry, scan):
+        st, m = carry
+        post, m, _info, (p_w, msk), summary = lio_scan_step(
+            st, m, scan, rot_il, t_il, cfg, axis_name=axis_name
+        )
+        return (post, m), (summary, p_w, msk)
+
+    (state, lidar_map), (summaries, clouds, masks) = jax.lax.scan(
+        body, (state, lidar_map), scans
+    )
+    return state, lidar_map, summaries, (clouds, masks)
 
 
 def step_summary(
@@ -316,14 +381,23 @@ def bootstrap_map(
     rot_il: jnp.ndarray,
     t_il: jnp.ndarray,
     cfg: StepConfig,
+    axis_name: Optional[str] = None,
 ) -> vm.VoxelHashMap:
     """First-scan map initialization (reference: laser_mapping.cpp:145-152
     `flg_first_scan` branch): downsample and insert at the current pose, no
-    filter update."""
+    filter update. Under shard_map, scan points arrive sharded on
+    `axis_name`; with cfg.map_sharded each device inserts its owned voxels,
+    otherwise replicas insert the full gathered scan identically."""
+    pts, mask = scan.pts, scan.mask
+    if axis_name is not None:
+        pts = jax.lax.all_gather(pts, axis_name, tiled=True)
+        mask = jax.lax.all_gather(mask, axis_name, tiled=True)
     ds_pts, ds_mask = voxelize.voxel_downsample(
-        scan.pts, scan.mask, cfg.ds_leaf, cfg.ds_capacity
+        pts, mask, cfg.ds_leaf, cfg.ds_capacity
     )
     _, p_w = lio.transform_to_world(ds_pts, state.rot, state.pos, rot_il, t_il)
+    if axis_name is not None and cfg.map_sharded:
+        return vm.sharded_insert(lidar_map, p_w, ds_mask, cfg.map_cfg, axis_name)
     return vm.insert(lidar_map, p_w, ds_mask, cfg.map_cfg)
 
 
@@ -403,6 +477,23 @@ class LivoPipeline:
             static_argnames=("cfg", "axis_name"),
             donate_argnames=("lidar_map",),
         )
+        # Scan batching (ROADMAP item 3): queue K scan-end groups and run
+        # them through ONE lax.scan dispatch — on a remote TPU the host
+        # round trip dominates, so this amortizes it K-fold. Only safe when
+        # nothing host-side must observe the state between scans (no GNSS
+        # linearization, no VIO interleaving).
+        self.scan_batch = int(getattr(cfg.lio, "scan_batch", 1))
+        self._batch_eligible = (
+            self.scan_batch > 1
+            and not cfg.vio.img_enable
+            and not cfg.gnss.gnss_en
+        )
+        self._scan_buf: list = []  # [(ScanInput, t_abs)]
+        self._step_multi = jax.jit(
+            lio_scan_multi,
+            static_argnames=("cfg", "axis_name"),
+            donate_argnames=("lidar_map",),
+        )
         self._vio_step = jax.jit(
             vio_scan_step,
             static_argnames=("cfg",),
@@ -451,6 +542,12 @@ class LivoPipeline:
                 self.map, scan, self.state, self.rot_il, self.t_il, self.step_cfg
             )
             self.first_scan = False
+            return None
+
+        if self._batch_eligible:
+            self._scan_buf.append((scan, t_abs))
+            if len(self._scan_buf) >= self.scan_batch:
+                self.flush_scans()
             return None
 
         prev_cloud, prev_cloud_mask = self.world_cloud, self.world_mask
@@ -507,11 +604,55 @@ class LivoPipeline:
         self.trajectory.append((t_abs, pos, quat))
         return info
 
+    def flush_scans(self):
+        """Dispatch any queued scan-end groups as ONE lax.scan device call
+        (see lio_scan_multi) and replay the per-scan host bookkeeping from
+        the stacked summaries — a single device->host fetch per batch."""
+        if not self._scan_buf:
+            return
+        buf, self._scan_buf = self._scan_buf, []
+        scans = jax.tree.map(lambda *xs: jnp.stack(xs), *[s for s, _ in buf])
+        stamps = [t for _, t in buf]
+        self.state, self.map, summaries, (clouds, masks) = self._step_multi(
+            self.state, self.map, scans, self.rot_il, self.t_il, self.step_cfg
+        )
+        s = np.asarray(summaries)  # (K, 11) — one fetch for the whole batch
+        last_ok = None
+        for k, t_abs in enumerate(stamps):
+            pos, quat = s[k, 0:3], s[k, 3:7]
+            n_eff, accepted = int(s[k, 7]), bool(s[k, 9] > 0.5)
+            if n_eff < self._min_effective:
+                self.health["low_constraint"] += 1
+            if not accepted:
+                self.health["rejected"] += 1
+                self.health["resets"] += 1
+            else:
+                last_ok = k
+            self.trajectory.append((t_abs, pos, quat))
+        if self.loop_backend is not None:
+            # Feed keyframe clouds in order (rotation from the recorded quat).
+            from fastlivo_tpu.ops import so3 as so3_ops
+
+            for k, t_abs in enumerate(stamps):
+                if not bool(s[k, 9] > 0.5):
+                    continue
+                wc = np.asarray(clouds[k])[np.asarray(masks[k])]
+                rot = np.asarray(
+                    so3_ops.quat_to_rot(jnp.asarray(s[k, 3:7], self.dtype))
+                )
+                self.loop_backend.on_scan(
+                    rot, s[k, 0:3], wc, stamp=t_abs, img=self._last_vio_img
+                )
+        if last_ok is not None:
+            self.world_cloud = clouds[last_ok]
+            self.world_mask = masks[last_ok]
+
     def finish(self, out_dir: Optional[str] = None):
         """End-of-run outputs (reference: LaserMapping::Finish,
         laser_mapping.cpp:286-327): TUM trajectory, loop-corrected TUM,
         map PCD. Returns the corrected keyframe trajectory if a loop
         backend ran."""
+        self.flush_scans()
         corrected = None
         if self.loop_backend is not None:
             self.loop_backend.finish()

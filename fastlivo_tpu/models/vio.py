@@ -63,6 +63,12 @@ class VioConfig:
     ncc_thre: float = 0.0
     levels: int = 3  # coarse-to-fine pyramid levels (2 -> 0)
     border_px: int = 40  # (patch_size_half + 1) * 8 as in the reference
+    # Affine brightness compensation I' = a*I + b, estimated in closed form
+    # over all valid patch pixels each iteration (the DSO-style counterpart
+    # of the reference's exp_time plumbing, which its default configs leave
+    # unused). Absorbs global exposure/illumination change between the
+    # reference patches and the current frame; a is clamped to [0.5, 2].
+    exposure_en: bool = True
 
     def grid_dims(self, cam: Pinhole) -> Tuple[int, int]:
         return (
@@ -292,6 +298,17 @@ def select(
 
     # --- photometric outlier gate at the search-level stride.
     cur_patch = img_ops.extract_patches(img, sel_uv, cfg.patch_size, scale)
+    if cfg.exposure_en:
+        # Same global affine brightness fit as the update phase, so a
+        # uniformly brighter/darker frame doesn't reject every candidate.
+        wsel = valid.astype(img.dtype)[:, None] * jnp.ones_like(cur_patch)
+        n_w = jnp.maximum(jnp.sum(wsel), 1.0)
+        mv = jnp.sum(cur_patch * wsel) / n_w
+        mr = jnp.sum(warped * wsel) / n_w
+        cov_vr = jnp.sum((cur_patch - mv) * (warped - mr) * wsel) / n_w
+        var_v = jnp.sum((cur_patch - mv) ** 2 * wsel) / n_w
+        a_exp = jnp.clip(cov_vr / jnp.maximum(var_v, 1e-6), 0.5, 2.0)
+        cur_patch = a_exp * cur_patch + (mr - a_exp * mv)
     err = jnp.sum((warped - cur_patch) ** 2, axis=-1)
     valid = valid & (err <= cfg.outlier_threshold * cfg.patch_size**2)
     if cfg.ncc_en:
@@ -357,7 +374,22 @@ def photometric_update(
         val, du, dv = img_ops.patch_residual_grad(
             img, uv, cfg.patch_size, pyr_scale
         )
-        res = val - sel.ref_patch[:, level, :]  # (N, 64)
+        ref = sel.ref_patch[:, level, :]
+        if cfg.exposure_en:
+            # Closed-form affine brightness fit min_{a,b} sum w(a*val+b-ref)^2
+            # over valid pixels; residual and image gradients scale by a.
+            w = valid.astype(dtype)[:, None] * jnp.ones_like(val)
+            n_w = jnp.maximum(jnp.sum(w), 1.0)
+            mv = jnp.sum(val * w) / n_w
+            mr = jnp.sum(ref * w) / n_w
+            cov_vr = jnp.sum((val - mv) * (ref - mr) * w) / n_w
+            var_v = jnp.sum((val - mv) ** 2 * w) / n_w
+            a_exp = jnp.clip(cov_vr / jnp.maximum(var_v, 1e-6), 0.5, 2.0)
+            b_exp = mr - a_exp * mv
+            val = a_exp * val + b_exp
+            du = a_exp * du
+            dv = a_exp * dv
+        res = val - ref  # (N, 64)
 
         jdpi = cam.dpi(p_c)  # (N, 2, 3)
         # d p_c / d theta = Rci [p_i]x ; d p_c / d pos = -Rci R^T

@@ -161,6 +161,9 @@ def run_log(
                 ):
                     from fastlivo_tpu.utils import checkpoint as ckpt
 
+                    # Batched mode: apply queued scans before snapshotting
+                    # so the saved state matches the n_scans counter.
+                    pipe.flush_scans()
                     ckpt.save_pipeline(
                         checkpoint_path, pipe, meta={"n_scans": n_scans}
                     )

@@ -89,6 +89,11 @@ class LioParams:
     # Below this many effective constraints, count the scan as
     # low-constraint in pipeline health diagnostics.
     min_effective: int = 50
+    # Queue this many scan-end groups per device dispatch (lax.scan batch).
+    # >1 amortizes the host<->device round trip (dominant on remote TPUs)
+    # at the cost of batch-latency; only takes effect with VIO and GNSS
+    # disabled (they need host-side work between scans). 1 = off.
+    scan_batch: int = 1
 
 
 @dataclass
@@ -108,6 +113,10 @@ class VioParams:
     max_visual_points: int = 40960  # visual map point capacity
     max_obs_per_point: int = 8  # observation slots per map point
     exp_time: float = 0.0
+    # Affine brightness compensation I' = a*I + b per frame in the
+    # photometric update (the working version of the reference's unused
+    # exp_time plumbing); see models/vio.py VioConfig.exposure_en.
+    exposure_en: bool = True
     delta_time: float = 0.0  # camera-IMU time offset
     max_grid_points: int = 1024  # residual budget per frame (grid cells)
     depth_continuous_thresh: float = 1.5

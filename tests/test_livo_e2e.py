@@ -51,20 +51,20 @@ def make_cfg():
     return cfg
 
 
-def test_livo_pipeline_runs_and_tracks(seq):
-    cfg = make_cfg()
+def drive_livo(seq, cfg):
+    """Interleaved LIO+VIO drive; returns (pipe, est, n_lio, n_vio)."""
     pipe = LivoPipeline(cfg)
     pipe.initializer.done = True
     pipe.initializer.mean_acc = np.array([0.0, 0.0, 9.81])
     pipe.initializer.mean_gyr = np.zeros(3)
     pipe.state = pipe.initializer.initial_state()
 
-    sync = MeasurementSynchronizer(img_enabled=True)
+    sync = MeasurementSynchronizer(img_enabled=cfg.vio.img_enable)
     builder = WindowBuilder(n_pts=8192, imu_window=cfg.imu.imu_int_frame)
 
     imu_iter = iter(seq.imu)
     pending = next(imu_iter)
-    frame_iter = iter(seq.frames)
+    frame_iter = iter(seq.frames or [])
     pending_frame = next(frame_iter, None)
 
     n_vio = n_lio = 0
@@ -91,22 +91,72 @@ def test_livo_pipeline_runs_and_tracks(seq):
                 )
                 if vinfo is not None:
                     n_vio += 1
+    return pipe, est, n_lio, n_vio
 
-    assert n_lio >= 20, f"lio updates {n_lio}"
-    assert n_vio >= 20, f"vio updates {n_vio}"
 
+def ate_vs_gt(seq, est):
     est_t = np.array([t for t, _ in est])
     est_p = np.array([p for _, p in est])
     gt_p = np.stack(
         [seq.gt_pos[np.argmin(np.abs(seq.gt_stamps - t))] for t in est_t]
     )
-    err = ate_rmse(est_p, gt_p)
+    return ate_rmse(est_p, gt_p)
+
+
+def test_livo_pipeline_runs_and_tracks(seq):
+    cfg = make_cfg()
+    pipe, est, n_lio, n_vio = drive_livo(seq, cfg)
+
+    assert n_lio >= 20, f"lio updates {n_lio}"
+    assert n_vio >= 20, f"vio updates {n_vio}"
+
+    err = ate_vs_gt(seq, est)
     assert err < 0.08, f"LIVO ATE {err * 100:.1f} cm"
 
     # The visual map must have been populated and observed.
     from fastlivo_tpu.maps import visual_map as vmap_mod
 
     assert int(vmap_mod.num_active(pipe.visual_map)) > 100
+
+
+def test_surfel_livo_pipeline_tracks(seq):
+    """The flagship surfel model interleaved with photometric VIO — the
+    round-1 instability (ROADMAP item 0: ATE flipping between ~15 cm and
+    meters at motion onset) is fixed by per-surfel confidence weighting
+    (models/lio.py: R_i inflated by the surfel's plane-thickness variance
+    and moment count). Gate: ATE at or under the p2pl-LIVO threshold."""
+    cfg = make_cfg()
+    cfg.lio.measurement_model = "surfel"
+    pipe, est, n_lio, n_vio = drive_livo(seq, cfg)
+
+    assert n_lio >= 20, f"lio updates {n_lio}"
+    assert n_vio >= 20, f"vio updates {n_vio}"
+    err = ate_vs_gt(seq, est)
+    assert err < 0.08, f"surfel-LIVO ATE {err * 100:.1f} cm"
+
+
+def test_livo_tracks_under_brightness_ramp(seq):
+    """Affine exposure compensation (vio.exposure_en, the working version
+    of the reference's unused exp_time plumbing): a sequence whose frames
+    ramp from 0.7x to 1.5x brightness must track at the same ATE threshold
+    as the unramped run."""
+    import dataclasses as _dc
+
+    from fastlivo_tpu.io.sensors import ImageFrame
+
+    t0 = seq.frames[0].stamp
+    t1 = seq.frames[-1].stamp
+    ramped = []
+    for f in seq.frames:
+        gain = 0.7 + 0.8 * (f.stamp - t0) / max(t1 - t0, 1e-9)
+        ramped.append(ImageFrame(stamp=f.stamp, img=f.img * gain + 8.0))
+    seq_r = _dc.replace(seq, frames=ramped)
+
+    cfg = make_cfg()
+    pipe, est, n_lio, n_vio = drive_livo(seq_r, cfg)
+    assert n_vio >= 20, f"vio updates {n_vio}"
+    err = ate_vs_gt(seq_r, est)
+    assert err < 0.08, f"ramped-brightness LIVO ATE {err * 100:.1f} cm"
 
 
 def test_surfel_model_lio_tracks(seq):
