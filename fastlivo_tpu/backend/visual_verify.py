@@ -68,7 +68,7 @@ class PatchMatcher:
         )
         cand = np.stack([us.reshape(-1), vs.reshape(-1)], -1).astype(np.float32)
         scores = np.asarray(
-            img_ops.shi_tomasi(jnp.asarray(img, jnp.float32), jnp.asarray(cand))
+            img_ops.shi_tomasi_at(jnp.asarray(img, jnp.float32), jnp.asarray(cand))
         )
         # per-cell argmax NMS
         cells = (cand[:, 0] // self.cell).astype(int) * 10000 + (
@@ -115,24 +115,84 @@ class PatchMatcher:
         return MatchResult(kp1[keep], kp2[best2[keep]], len(kp1))
 
 
-class SuperPointLightGlue:
-    """Weight-loading slot for learned matching (interface parity with the
-    reference's ONNX runner). Provide an npz with exported weights; absent
-    weights raise with instructions rather than silently degrading."""
+class OrientedPatchMatcher(PatchMatcher):
+    """PatchMatcher with per-keypoint orientation normalization: each
+    descriptor patch is resampled along the keypoint's dominant gradient
+    direction, making matching invariant to in-plane rotation (the
+    viewpoint change plain patch correlation fails; learned matchers like
+    SuperPoint+LightGlue handle it through training). Orientation
+    normalization removes the dominant ambiguity source, so the default
+    ratio test is slightly looser than the base matcher's."""
 
-    def __init__(self, weights_path: Optional[str] = None):
+    def __init__(self, ratio_test: float = 0.9, **kw):
+        super().__init__(ratio_test=ratio_test, **kw)
+
+    def _orientation(self, img: np.ndarray, kp: np.ndarray) -> np.ndarray:
+        gy, gx = np.gradient(img)
+        h, w = img.shape
+        r = np.arange(-self.patch, self.patch + 1, 2)
+        dv, du = np.meshgrid(r, r, indexing="ij")
+        cols = np.clip(kp[:, 0:1].astype(int) + du.reshape(-1), 0, w - 1)
+        rows = np.clip(kp[:, 1:2].astype(int) + dv.reshape(-1), 0, h - 1)
+        sx = gx[rows, cols].sum(axis=1)
+        sy = gy[rows, cols].sum(axis=1)
+        return np.arctan2(sy, sx)
+
+    def describe(self, img: np.ndarray, kp: np.ndarray) -> np.ndarray:
+        theta = self._orientation(img, kp)
+        p = self.patch
+        h, w = img.shape
+        r = (np.arange(p) - p / 2 + 0.5) * 2.0  # stride-2 like the base
+        dv, du = np.meshgrid(r, r, indexing="ij")
+        du, dv = du.reshape(-1), dv.reshape(-1)
+        c, s = np.cos(theta)[:, None], np.sin(theta)[:, None]
+        us = kp[:, 0:1] + c * du[None, :] - s * dv[None, :]
+        vs = kp[:, 1:2] + s * du[None, :] + c * dv[None, :]
+        u0 = np.clip(np.floor(us).astype(int), 0, w - 2)
+        v0 = np.clip(np.floor(vs).astype(int), 0, h - 2)
+        fu = np.clip(us - u0, 0, 1)
+        fv = np.clip(vs - v0, 0, 1)
+        patches = (
+            img[v0, u0] * (1 - fu) * (1 - fv)
+            + img[v0, u0 + 1] * fu * (1 - fv)
+            + img[v0 + 1, u0] * (1 - fu) * fv
+            + img[v0 + 1, u0 + 1] * fu * fv
+        )
+        mu = patches.mean(axis=1, keepdims=True)
+        d = patches - mu
+        return d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-6)
+
+
+class SuperPointLightGlue:
+    """Learned matcher (interface parity with the reference's ONNX runner,
+    LightGlueDecoupleOnnxRunner.cpp:93-263). The forward passes live in
+    `backend/superpoint_lightglue.py` as pure-JAX functions over weight
+    pytrees; this wrapper loads an npz weight artifact (see
+    examples/export_lightglue_weights.py for converting the official torch
+    checkpoints) and exposes PatchMatcher's match() interface. Absent
+    weights raise with instructions rather than silently degrading — use
+    OrientedPatchMatcher as the self-contained robust default."""
+
+    def __init__(self, weights_path: Optional[str] = None, **kw):
         self.weights_path = weights_path
         if weights_path is None:
             raise FileNotFoundError(
                 "SuperPoint/LightGlue weights not provided. The reference "
                 "repo also ships none (config/weight/*.onnx are "
-                ".MISSING_LARGE_BLOBS placeholders). Use PatchMatcher, or "
-                "export weights to npz and pass weights_path."
+                ".MISSING_LARGE_BLOBS placeholders). Use PatchMatcher / "
+                "OrientedPatchMatcher, or export weights to npz "
+                "(examples/export_lightglue_weights.py) and pass "
+                "weights_path=(superpoint.npz path, lightglue.npz path)."
             )
-        raise NotImplementedError(
-            "Learned matcher loading lands with a weights artifact; "
-            "PatchMatcher is the functional default."
+        from fastlivo_tpu.backend import superpoint_lightglue as spl
+
+        sp_path, lg_path = weights_path
+        self._impl = spl.SuperPointLightGlueMatcher(
+            spl.load_npz(sp_path), spl.load_npz(lg_path), **kw
         )
+
+    def match(self, img1: np.ndarray, img2: np.ndarray) -> MatchResult:
+        return self._impl.match(img1, img2)
 
 
 def verify_loop(

@@ -523,7 +523,14 @@ def maintain(
     z = p_c[..., 2]
     uv = cam.project(p_c)
     ok = scan_mask & (z > 0) & cam.in_frame(uv, border=cfg.border_px)
-    score = img_ops.shi_tomasi(img, uv)
+    # Dense score map + one gather per point: scoring the full scan with
+    # per-point gathers measured 0.7 s/frame on TPU (65k x box^2 x 8
+    # random reads); the dense map is a few regular passes (~1 ms).
+    score_map = img_ops.shi_tomasi_dense(img)
+    h_img, w_img = img.shape
+    ui = jnp.clip(jnp.floor(uv[:, 0]).astype(jnp.int32), 0, w_img - 1)
+    vi = jnp.clip(jnp.floor(uv[:, 1]).astype(jnp.int32), 0, h_img - 1)
+    score = score_map[vi, ui]
     score = jnp.where(ok, score, -1.0)
     cells = jnp.clip(
         (uv[..., 0] / cfg.grid_size).astype(jnp.int32) * gh
@@ -566,7 +573,9 @@ def maintain(
     # pixel_dist > 40 (lidar_selection.cpp:917-927).
     add_flag = obs_ok & ((delta_p > 0.5) | (px_dist > 40.0))
 
-    sel_score = img_ops.shi_tomasi(img, sel_uv)
+    su = jnp.clip(jnp.floor(sel_uv[:, 0]).astype(jnp.int32), 0, w_img - 1)
+    sv = jnp.clip(jnp.floor(sel_uv[:, 1]).astype(jnp.int32), 0, h_img - 1)
+    sel_score = score_map[sv, su]
     sel_patches = jnp.stack(
         [
             img_ops.extract_patches(img, sel_uv, vm_cfg.stored_patch, 1 << lvl)

@@ -152,6 +152,49 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
     return pyr
 
 
+def shi_tomasi_dense(img: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Dense Shi-Tomasi score map: score[y, x] equals
+    `shi_tomasi(img, [[x, y]])` for interior integer pixels, computed with
+    REGULAR ops (shifts + one reduce_window) instead of per-point gathers.
+
+    Rationale: scoring N scattered points costs N x box^2 x 8 random image
+    gathers (measured 0.7 s for 65k points on TPU v5e in `maintain`);
+    the dense map is ~3 elementwise passes + one windowed sum over the
+    image and the per-point score becomes ONE gather.
+    """
+    dtype = img.dtype
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    k = 2 * halfbox
+    pad = ((halfbox, k - 1 - halfbox), (halfbox, k - 1 - halfbox))
+
+    def box(a):
+        # out[i, j] = sum over window [-halfbox, halfbox) — the same
+        # offsets the per-point version uses (arange(2h) - h).
+        return jax.lax.reduce_window(a, jnp.asarray(0, dtype), jax.lax.add,
+                                     (k, k), (1, 1), pad)
+
+    dxx = box(dx * dx)
+    dyy = box(dy * dy)
+    dxy = box(dx * dy)
+    area = k * k
+    return (
+        0.5 * (dxx + dyy - jnp.sqrt((dxx - dyy) ** 2 + 4.0 * dxy**2)) / area
+    )
+
+
+def shi_tomasi_at(
+    img: jnp.ndarray, centers: jnp.ndarray, halfbox: int = 4
+) -> jnp.ndarray:
+    """Shi-Tomasi scores at scattered centers via the dense map + one
+    gather per point (fast path for large center batches)."""
+    dense = shi_tomasi_dense(img, halfbox)
+    h, w = img.shape
+    u = jnp.clip(jnp.floor(centers[:, 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32), 0, h - 1)
+    return dense[v, u]
+
+
 def shi_tomasi(img: jnp.ndarray, centers: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
     """Batched Shi-Tomasi (min eigenvalue of the gradient Gram) at centers.
 
