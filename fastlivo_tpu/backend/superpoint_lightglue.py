@@ -1,0 +1,341 @@
+"""SuperPoint + LightGlue forward passes in pure JAX.
+
+Capability parity with the reference's ONNX-Runtime runner
+(reference: include/LightGlue/LightGlueDecoupleOnnxRunner.cpp —
+extractor_inference :263, match_inference :181, postprocess :237), rebuilt
+as jitted JAX functions over explicit weight pytrees instead of an ONNX
+session. The reference repo ships NO weights (config/weight/*.onnx are
+.MISSING_LARGE_BLOBS placeholders) and this environment has no network
+access, so:
+
+- the architectures are implemented faithfully (SuperPoint VGG encoder +
+  detector/descriptor heads; LightGlue rotary self/cross attention stack +
+  matchability/dual-softmax assignment, without the inference-time
+  early-exit/point-pruning optimizations);
+- weights load from an npz via `load_superpoint_npz` / `load_lightglue_npz`
+  (naming documented below; `examples/export_lightglue_weights.py` converts
+  the official torch checkpoints where they are available);
+- `init_superpoint` / `init_lightglue` create random-weight pytrees so the
+  full pipeline is structurally testable (e.g. matching an image against
+  itself must return identity matches for ANY weights).
+
+npz naming: SuperPoint convs as `conv1a.w` (kh,kw,cin,cout) + `conv1a.b`,
+... `convPa/convPb/convDa/convDb`. LightGlue: `kenc.w` (2,head_dim/2) for
+the rotary projection, per layer i: `l{i}.self.{q,k,v,o}.w/.b`,
+`l{i}.self.mlp{0,1}.w/.b`, same under `l{i}.cross.*`, and heads
+`matchability.w/.b` (d,1), `final_proj.w/.b` (d,d).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DESC_DIM = 256
+N_HEADS = 4
+N_LAYERS = 9
+
+_CONVS = [
+    # name, cin, cout, ksize
+    ("conv1a", 1, 64, 3), ("conv1b", 64, 64, 3),
+    ("conv2a", 64, 64, 3), ("conv2b", 64, 64, 3),
+    ("conv3a", 64, 128, 3), ("conv3b", 128, 128, 3),
+    ("conv4a", 128, 128, 3), ("conv4b", 128, 128, 3),
+    ("convPa", 128, 256, 3), ("convPb", 256, 65, 1),
+    ("convDa", 128, 256, 3), ("convDb", 256, DESC_DIM, 1),
+]
+
+
+def init_superpoint(seed: int = 0) -> Dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    w = {}
+    for name, cin, cout, k in _CONVS:
+        scale = float(np.sqrt(2.0 / (k * k * cin)))
+        w[f"{name}.w"] = jnp.asarray(
+            rng.normal(0, scale, (k, k, cin, cout)), jnp.float32
+        )
+        w[f"{name}.b"] = jnp.zeros((cout,), jnp.float32)
+    return w
+
+
+def _conv(x, w, b, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def superpoint_forward(
+    weights: Dict[str, jnp.ndarray], img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """img (H, W) float in [0, 1] -> (score map (H, W), dense desc
+    (H/8, W/8, 256) L2-normalized). H and W must be multiples of 8."""
+
+    def c(name, x, relu=True):
+        y = _conv(x, weights[f"{name}.w"], weights[f"{name}.b"])
+        return jax.nn.relu(y) if relu else y
+
+    x = img[None, :, :, None]
+    x = c("conv1b", c("conv1a", x))
+    x = _pool(x)
+    x = c("conv2b", c("conv2a", x))
+    x = _pool(x)
+    x = c("conv3b", c("conv3a", x))
+    x = _pool(x)
+    x = c("conv4b", c("conv4a", x))
+
+    # Detector head: 65-way softmax (64 cells + dustbin) -> depth-to-space.
+    p = c("convPb", c("convPa", x), relu=False)  # (1, H/8, W/8, 65)
+    p = jax.nn.softmax(p, axis=-1)[..., :64]
+    hc, wc = p.shape[1], p.shape[2]
+    scores = p.reshape(hc, wc, 8, 8).transpose(0, 2, 1, 3).reshape(hc * 8, wc * 8)
+
+    # Descriptor head.
+    d = c("convDb", c("convDa", x), relu=False)[0]  # (H/8, W/8, 256)
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    return scores, d
+
+
+def _simple_nms(scores: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Keep local maxima within a (2r+1)^2 window."""
+    m = jax.lax.reduce_window(
+        scores[None, :, :, None], -jnp.inf, jax.lax.max,
+        (1, 2 * radius + 1, 2 * radius + 1, 1), (1, 1, 1, 1), "SAME",
+    )[0, :, :, 0]
+    return jnp.where(scores == m, scores, 0.0)
+
+
+def extract_keypoints(
+    weights: Dict[str, jnp.ndarray],
+    img: jnp.ndarray,
+    max_keypoints: int = 512,
+    score_thresh: float = 0.0005,
+    border: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SuperPoint keypoints: (kpts (K,2) xy, desc (K,256), valid (K,))."""
+    h, w = img.shape
+    scores, dense_desc = superpoint_forward(weights, img)
+    scores = _simple_nms(scores)
+    # border suppression
+    mask = jnp.zeros_like(scores).at[border:-border, border:-border].set(1.0)
+    scores = scores * mask
+
+    flat = scores.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_keypoints)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)
+    valid = top > score_thresh
+
+    # Bilinear-sample dense descriptors at keypoint/8 coords.
+    gx = xs / 8.0 - 0.5
+    gy = ys / 8.0 - 0.5
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, dense_desc.shape[1] - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, dense_desc.shape[0] - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)[:, None]
+    fy = jnp.clip(gy - y0, 0.0, 1.0)[:, None]
+    d00 = dense_desc[y0, x0]
+    d01 = dense_desc[y0, x0 + 1]
+    d10 = dense_desc[y0 + 1, x0]
+    d11 = dense_desc[y0 + 1, x0 + 1]
+    desc = (
+        d00 * (1 - fx) * (1 - fy) + d01 * fx * (1 - fy)
+        + d10 * (1 - fx) * fy + d11 * fx * fy
+    )
+    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    return kpts, desc, valid
+
+
+# --------------------------------------------------------------------------
+# LightGlue
+# --------------------------------------------------------------------------
+
+
+def init_lightglue(
+    seed: int = 0, n_layers: int = N_LAYERS, dim: int = DESC_DIM
+) -> Dict[str, jnp.ndarray]:
+    rng = np.random.default_rng(seed)
+    head_dim = dim // N_HEADS
+
+    def lin(cin, cout):
+        return jnp.asarray(
+            rng.normal(0, 1.0 / np.sqrt(cin), (cin, cout)), jnp.float32
+        )
+
+    w = {"kenc.w": lin(2, head_dim // 2), "n_layers": jnp.asarray(n_layers)}
+    for i in range(n_layers):
+        for kind in ("self", "cross"):
+            p = f"l{i}.{kind}"
+            for nm in ("q", "k", "v", "o"):
+                w[f"{p}.{nm}.w"] = lin(dim, dim)
+                w[f"{p}.{nm}.b"] = jnp.zeros((dim,), jnp.float32)
+            w[f"{p}.mlp0.w"] = lin(2 * dim, 2 * dim)
+            w[f"{p}.mlp0.b"] = jnp.zeros((2 * dim,), jnp.float32)
+            w[f"{p}.mlp1.w"] = lin(2 * dim, dim)
+            w[f"{p}.mlp1.b"] = jnp.zeros((dim,), jnp.float32)
+    w["matchability.w"] = lin(dim, 1)
+    w["matchability.b"] = jnp.zeros((1,), jnp.float32)
+    w["final_proj.w"] = lin(dim, dim)
+    w["final_proj.b"] = jnp.zeros((dim,), jnp.float32)
+    return w
+
+
+def _rotary(kpts: jnp.ndarray, wenc: jnp.ndarray, size_wh) -> jnp.ndarray:
+    """Rotary frequencies from normalized keypoint coords: (N, hd/2)."""
+    scale = jnp.asarray(size_wh, jnp.float32)
+    p = (kpts - scale / 2.0) / scale.max()
+    return p @ wenc  # (N, head_dim/2)
+
+
+def _apply_rot(x: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """x (N, H, hd) with rotary angles theta (N, hd/2)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    y1 = x1 * c[:, None, :] - x2 * s[:, None, :]
+    y2 = x1 * s[:, None, :] + x2 * c[:, None, :]
+    out = jnp.stack([y1, y2], axis=-1).reshape(x.shape)
+    return out
+
+
+def _attention(wp, x_q, x_kv, mask_q, mask_kv, theta_q=None, theta_kv=None):
+    """Multi-head attention block with LightGlue's message-MLP update."""
+    n, d = x_q.shape
+    hd = d // N_HEADS
+
+    def split(t):
+        return t.reshape(-1, N_HEADS, hd)
+
+    q = split(x_q @ wp["q.w"] + wp["q.b"])
+    k = split(x_kv @ wp["k.w"] + wp["k.b"])
+    v = split(x_kv @ wp["v.w"] + wp["v.b"])
+    if theta_q is not None:
+        q = _apply_rot(q, theta_q)
+        k = _apply_rot(k, theta_kv)
+    att = jnp.einsum("nhd,mhd->hnm", q, k) / jnp.sqrt(hd)
+    att = jnp.where(mask_kv[None, None, :], att, -1e9)
+    att = jax.nn.softmax(att, axis=-1)
+    msg = jnp.einsum("hnm,mhd->nhd", att, v).reshape(n, d)
+    msg = msg @ wp["o.w"] + wp["o.b"]
+    # Update: x += MLP([x | message])
+    y = jnp.concatenate([x_q, msg], axis=-1)
+    y = jax.nn.gelu(y @ wp["mlp0.w"] + wp["mlp0.b"])
+    y = y @ wp["mlp1.w"] + wp["mlp1.b"]
+    return jnp.where(mask_q[:, None], x_q + y, x_q)
+
+
+def lightglue_forward(
+    weights: Dict[str, jnp.ndarray],
+    kpts0, desc0, valid0,
+    kpts1, desc1, valid1,
+    size_wh,
+    n_layers: int = N_LAYERS,
+):
+    """Returns the (N0, N1) soft assignment matrix P and matchabilities."""
+
+    def sub(prefix):
+        plen = len(prefix) + 1
+        return {
+            k[plen:]: v for k, v in weights.items() if k.startswith(prefix + ".")
+        }
+
+    th0 = _rotary(kpts0, weights["kenc.w"], size_wh)
+    th1 = _rotary(kpts1, weights["kenc.w"], size_wh)
+    x0, x1 = desc0, desc1
+    for i in range(n_layers):
+        ws = sub(f"l{i}.self")
+        x0 = _attention(ws, x0, x0, valid0, valid0, th0, th0)
+        x1 = _attention(ws, x1, x1, valid1, valid1, th1, th1)
+        wc = sub(f"l{i}.cross")
+        x0n = _attention(wc, x0, x1, valid0, valid1)
+        x1n = _attention(wc, x1, x0, valid1, valid0)
+        x0, x1 = x0n, x1n
+
+    m0 = jax.nn.sigmoid(
+        (x0 @ weights["matchability.w"] + weights["matchability.b"])[:, 0]
+    )
+    m1 = jax.nn.sigmoid(
+        (x1 @ weights["matchability.w"] + weights["matchability.b"])[:, 0]
+    )
+    p0 = x0 @ weights["final_proj.w"] + weights["final_proj.b"]
+    p1 = x1 @ weights["final_proj.w"] + weights["final_proj.b"]
+    sim = (p0 @ p1.T) / jnp.sqrt(p0.shape[-1])
+    sim = jnp.where(valid0[:, None] & valid1[None, :], sim, -1e9)
+    # Dual-softmax assignment weighted by matchability (LightGlue eq. 8).
+    p = (
+        jax.nn.softmax(sim, axis=1)
+        * jax.nn.softmax(sim, axis=0)
+        * (m0[:, None] * m1[None, :])
+    )
+    return p, m0, m1
+
+
+def load_npz(path: str) -> Dict[str, jnp.ndarray]:
+    data = np.load(path)
+    return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "n_layers"))
+def _match_jit(sp_w, lg_w, img0, img1, max_keypoints, n_layers):
+    k0, d0, v0 = extract_keypoints(sp_w, img0, max_keypoints)
+    k1, d1, v1 = extract_keypoints(sp_w, img1, max_keypoints)
+    size_wh = jnp.asarray([img0.shape[1], img0.shape[0]], jnp.float32)
+    p, m0, m1 = lightglue_forward(
+        lg_w, k0, d0, v0, k1, d1, v1, size_wh, n_layers=n_layers
+    )
+    return k0, v0, k1, v1, p
+
+
+class SuperPointLightGlueMatcher:
+    """End-to-end learned matcher over explicit weight pytrees.
+
+    `sp_weights` / `lg_weights`: pytrees from load_npz or init_*.
+    match() mirrors PatchMatcher.match (returns the same MatchResult type).
+    """
+
+    def __init__(
+        self,
+        sp_weights: Dict[str, jnp.ndarray],
+        lg_weights: Dict[str, jnp.ndarray],
+        max_keypoints: int = 512,
+        match_thresh: float = 0.1,
+        n_layers: int = N_LAYERS,
+    ):
+        self.sp = sp_weights
+        self.lg = lg_weights
+        self.max_keypoints = max_keypoints
+        self.match_thresh = match_thresh
+        self.n_layers = n_layers
+
+    def match(self, img1: np.ndarray, img2: np.ndarray):
+        from fastlivo_tpu.backend.visual_verify import MatchResult
+
+        h = (img1.shape[0] // 8) * 8
+        w = (img1.shape[1] // 8) * 8
+        a = jnp.asarray(img1[:h, :w], jnp.float32)
+        b = jnp.asarray(img2[:h, :w], jnp.float32)
+        if float(a.max()) > 1.5:  # accept [0,255] inputs
+            a, b = a / 255.0, b / 255.0
+        k0, v0, k1, v1, p = _match_jit(
+            self.sp, self.lg, a, b, self.max_keypoints, self.n_layers
+        )
+        p = np.asarray(p)
+        k0, k1 = np.asarray(k0), np.asarray(k1)
+        v0, v1 = np.asarray(v0), np.asarray(v1)
+        best1 = p.argmax(axis=1)
+        best0 = p.argmax(axis=0)
+        idx0 = np.arange(len(k0))
+        mutual = best0[best1] == idx0
+        score = p[idx0, best1]
+        keep = mutual & (score > self.match_thresh) & v0 & v1[best1]
+        return MatchResult(k0[keep], k1[best1[keep]], int(v0.sum()))
