@@ -571,6 +571,57 @@ def sharded_knn(
     return best_pts, best_d2, best_d2 <= max_dist2
 
 
+def reanchor(
+    m: VoxelHashMap,
+    cfg: VoxelMapConfig,
+    seg_of_epoch: jnp.ndarray,
+    rots: jnp.ndarray,
+    trans: jnp.ndarray,
+    chunk: int = 65536,
+) -> VoxelHashMap:
+    """Rigidly re-anchor the live arena after a loop correction.
+
+    The reference (like upstream FAST-LIVO) only corrects the EXPORTED
+    trajectory — its live map keeps the drift (laser_mapping.cpp:1181-1215).
+    This goes further: every stored point is moved by its insertion
+    segment's correction p' = R_seg p + t_seg and the arena is rebuilt
+    (points change voxels under the correction, so a full re-hash insert is
+    required). Each voxel's insertion segment is approximated by its LAST
+    LRU touch (stamps) — voxels are overwhelmingly built within one pass.
+    Surfel moments are rebuilt from the re-inserted slab points (moment
+    history beyond the slab cap is reset; it re-matures in a few scans).
+
+    Args:
+      seg_of_epoch: (E,) int32 mapping insert-epoch -> correction segment
+        (E > max stored stamp; typically one segment per keyframe span).
+      rots/trans: (K, 3, 3), (K, 3) rigid corrections per segment
+        (corrected = R @ drifted + t).
+    """
+    c, s = cfg.capacity, cfg.max_points
+    chunk = min(chunk, c * s)
+    slot_valid = (
+        jnp.arange(s, dtype=jnp.int32)[None, :] < m.counts[:, None]
+    ) & m.occupied[:, None]
+    seg = seg_of_epoch[jnp.clip(m.stamps, 0, seg_of_epoch.shape[0] - 1)]
+    r = rots[seg]  # (C, 3, 3)
+    t = trans[seg]  # (C, 3)
+    pts = jnp.einsum("cij,csj->csi", r, m.points) + t[:, None, :]
+
+    n_chunks = -(-(c * s) // chunk)
+    pad = n_chunks * chunk - c * s
+    flat_pts = jnp.pad(pts.reshape(c * s, 3), ((0, pad), (0, 0)))
+    flat_ok = jnp.pad(slot_valid.reshape(c * s), (0, pad))
+
+    fresh = make_map(cfg, m.points.dtype)._replace(epoch=m.epoch)
+
+    def body(i, fresh):
+        p_chunk = jax.lax.dynamic_slice_in_dim(flat_pts, i * chunk, chunk)
+        ok_chunk = jax.lax.dynamic_slice_in_dim(flat_ok, i * chunk, chunk)
+        return insert(fresh, p_chunk, ok_chunk, cfg)
+
+    return jax.lax.fori_loop(0, n_chunks, body, fresh)
+
+
 def num_occupied(m: VoxelHashMap) -> jnp.ndarray:
     return jnp.sum(m.occupied.astype(jnp.int32))
 

@@ -461,6 +461,11 @@ class LivoPipeline:
         self.first_scan = True
         self._first_scan_t = None
         self._init_time = cfg.lio.init_time
+        # Insert-epoch -> timestamp: vm.insert bumps the arena epoch by one
+        # per call (each bootstrap and each scan step inserts exactly once),
+        # so appending here per insert keeps epoch k <-> stamp mapping for
+        # loop-corrected map re-anchoring (reanchor_map).
+        self._epoch_stamps: list = []
         self.trajectory: list = []  # (t, pos, quat) tuples for TUM export
         self._last_vio_img = None  # most recent camera frame (loop verify)
         # Failure detection (SURVEY.md section 5: the reference only has
@@ -541,11 +546,13 @@ class LivoPipeline:
             self.map = self._bootstrap(
                 self.map, scan, self.state, self.rot_il, self.t_il, self.step_cfg
             )
+            self._epoch_stamps.append(t_abs)
             self.first_scan = False
             return None
 
         if self._batch_eligible:
             self._scan_buf.append((scan, t_abs))
+            self._epoch_stamps.append(t_abs)
             if len(self._scan_buf) >= self.scan_batch:
                 self.flush_scans()
             return None
@@ -579,6 +586,7 @@ class LivoPipeline:
             extra_hth=None if extra is None else extra[0],
             extra_hty=None if extra is None else extra[1],
         )
+        self._epoch_stamps.append(t_abs)
         # One device->host fetch for everything the host loop needs.
         s = np.asarray(summary)
         pos, quat = s[0:3], s[3:7]
@@ -646,6 +654,49 @@ class LivoPipeline:
         if last_ok is not None:
             self.world_cloud = clouds[last_ok]
             self.world_mask = masks[last_ok]
+
+    def reanchor_map(self) -> bool:
+        """Re-anchor the live voxel arena with loop-corrected keyframe
+        poses (beyond the reference, which only corrects the exported
+        trajectory — laser_mapping.cpp:1181-1215; ROADMAP item 10).
+
+        Every arena point moves by the rigid correction of the keyframe
+        segment it was inserted under (voxel LRU stamps map insert epochs
+        to stamps, stamps to nearest keyframes); the arena is rebuilt
+        device-side by vm.reanchor. Returns True if a correction was
+        applied."""
+        if self.loop_backend is None or not self.loop_backend.loops:
+            return False
+        if not self._epoch_stamps:
+            return False
+        self.flush_scans()
+        g = self.loop_backend.graph
+        rots_c, trans_c = self.loop_backend.corrected_trajectory()
+        rots_d = np.asarray(g.rots)
+        trans_d = np.asarray(g.trans)
+        kf_stamps = np.asarray(g.stamps)
+        if len(kf_stamps) == 0:
+            return False
+        # Per-keyframe rigid correction: corrected = R_seg @ drifted + t_seg.
+        r_seg = rots_c @ rots_d.transpose(0, 2, 1)
+        t_seg = trans_c - np.einsum("kij,kj->ki", r_seg, trans_d)
+        # Assign each insert epoch to the nearest keyframe by timestamp.
+        ep = np.asarray(self._epoch_stamps)
+        hi = np.clip(np.searchsorted(kf_stamps, ep), 0, len(kf_stamps) - 1)
+        lo = np.clip(hi - 1, 0, len(kf_stamps) - 1)
+        seg = np.where(
+            np.abs(ep - kf_stamps[lo]) < np.abs(ep - kf_stamps[hi]), lo, hi
+        )
+        self.map = jax.jit(
+            vm.reanchor, static_argnames=("cfg", "chunk"), donate_argnums=(0,)
+        )(
+            self.map,
+            self.step_cfg.map_cfg,
+            jnp.asarray(seg, jnp.int32),
+            jnp.asarray(r_seg, self.dtype),
+            jnp.asarray(t_seg, self.dtype),
+        )
+        return True
 
     def finish(self, out_dir: Optional[str] = None):
         """End-of-run outputs (reference: LaserMapping::Finish,
