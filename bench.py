@@ -152,7 +152,9 @@ def main():
     # lidar_selection.cpp:748-884): photometric update on a rendered frame
     # against the last scan's world cloud.
     vio_ms = None
+    n_vio_sel = 0
     try:
+        from fastlivo_tpu.io import render
         from fastlivo_tpu.maps import visual_map as vmap_mod
         from fastlivo_tpu.models import vio as vio_mod
         from fastlivo_tpu.ops.camera import Pinhole
@@ -162,26 +164,36 @@ def main():
         vm_cfg = vmap_mod.VisualMapConfig(capacity=4096, max_obs=4)
         vio_cfg = vio_mod.VioConfig()
         vmap = vmap_mod.make_visual_map(vm_cfg)
-        img = jnp.asarray(
-            rng.uniform(0.2, 0.8, (512, 640)).astype(np.float32)
+        # Camera looking down +x at the box wall; render the same textured
+        # room the scan sampled so candidates actually select (an
+        # inconsistent image measures an empty update).
+        rot_ci = jnp.asarray(
+            [[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]], jnp.float32
+        )
+        t_ci = jnp.zeros(3, jnp.float32)
+        img = jax.jit(render.render_room, static_argnames="cam")(
+            cam, rot_ci, t_ci, half=8.0, floor_z=-1.5
         )
         _, _, _, (wc, wmask), _ = step(state, m, scans[-1], i3, z3, cfg)
         vstep = jax.jit(
             vio_mod.vio_update, static_argnames=("cam", "vm_cfg", "cfg"),
             donate_argnames=("vmap",),
         )
-        post, vmap, vinfo = vstep(
-            state, vmap, img, wc, wmask, cam, i3, z3, vm_cfg, vio_cfg
-        )
+        post = state
+        for _ in range(3):  # populate the visual map + stored patches
+            post, vmap, vinfo = vstep(
+                post, vmap, img, wc, wmask, cam, rot_ci, t_ci, vm_cfg, vio_cfg
+            )
         jax.block_until_ready(post)
         t0 = time.perf_counter()
         n_vio = 10
         for _ in range(n_vio):
             post, vmap, vinfo = vstep(
-                post, vmap, img, wc, wmask, cam, i3, z3, vm_cfg, vio_cfg
+                post, vmap, img, wc, wmask, cam, rot_ci, t_ci, vm_cfg, vio_cfg
             )
         jax.block_until_ready(post)
         vio_ms = (time.perf_counter() - t0) / n_vio * 1e3
+        n_vio_sel = int(vinfo.n_selected)
     except Exception:
         vio_ms = None
 
@@ -202,6 +214,7 @@ def main():
     }
     if vio_ms is not None:
         out["vio_step_ms"] = round(vio_ms, 3)
+        out["vio_n_selected"] = n_vio_sel
     print(json.dumps(out))
 
 

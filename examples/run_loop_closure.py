@@ -66,7 +66,7 @@ def main():
         if g is None:
             continue
         si, t = builder.build(g)
-        si = si._replace(acc_scale=jnp.float32(1.0))
+        si = si._replace(acc_scale=np.float32(1.0))
         info = pipe.process_scan(si, t)
         if info is not None:
             est.append((t, np.asarray(pipe.state.pos)))

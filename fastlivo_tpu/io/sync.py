@@ -243,17 +243,16 @@ class WindowBuilder:
             self.last_imu = meas.imu[-1]
         self.last_end_time = t_end
 
+        # Leaves stay NUMPY: each eager jnp.asarray here is a separate
+        # host<->device interaction (~40 ms each on a tunneled TPU, 7 per
+        # group = the whole real-time budget); passing numpy into the
+        # jitted step folds all transfers into the one dispatch.
         scan_input = ScanInput(
-            pts=jnp.asarray(out_pts),
-            t_offs=jnp.asarray(out_t),
-            mask=jnp.asarray(out_mask),
-            imu=ImuWindow(
-                stamps=jnp.asarray(stamps),
-                gyr=jnp.asarray(gyr),
-                acc=jnp.asarray(acc),
-                mask=jnp.asarray(mask),
-            ),
-            t_end=jnp.float32(max(t_end - t0, 0.0)),
-            acc_scale=jnp.float32(1.0),  # caller overrides post-init
+            pts=out_pts,
+            t_offs=out_t,
+            mask=out_mask,
+            imu=ImuWindow(stamps=stamps, gyr=gyr, acc=acc, mask=mask),
+            t_end=np.float32(max(t_end - t0, 0.0)),
+            acc_scale=np.float32(1.0),  # caller overrides post-init
         )
         return scan_input, t_end

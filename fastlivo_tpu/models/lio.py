@@ -22,6 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -51,7 +53,15 @@ class LioConfig:
     # (running per-voxel plane moments — no kNN in the hot loop; the
     # Surfel-LIO-style fast path, PAPERS.md).
     measurement_model: str = "point_to_plane"
-    vgicp_source_cov: float = 0.01  # source-point isotropic cov (m^2)
+    vgicp_source_cov: float = 0.01  # source-point cov scale (m^2)
+    # "neighborhood": per-point source covariances from scan self-kNN with
+    # GICP plane regularization cov = s*(I - (1-eps) n n^T), rotated into
+    # the world each iteration — the reference's caculate_covariance
+    # capability (laser_mapping.cpp:418-481). "isotropic": s*I (cheaper,
+    # ignores scan anisotropy).
+    vgicp_source_mode: str = "neighborhood"
+    vgicp_source_k: int = 8
+    vgicp_source_eps: float = 1e-3
     surfel_min_points: float = 6.0
     surfel_planarity_max: float = 0.01  # plane-thickness variance gate (m^2)
     # Per-surfel confidence weighting (ROADMAP item 0): inflate the
@@ -158,6 +168,52 @@ def _innovation(
     return hth, hty, n_eff, res_sum
 
 
+def scan_source_covariances(
+    pts_body: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    cfg: LioConfig,
+    ds_leaf: float = 0.5,
+) -> jnp.ndarray:
+    """Per-point GICP source covariances from scan self-neighborhoods
+    (the reference's caculate_covariance over scan 15-NN,
+    laser_mapping.cpp:418-440, with the standard plane regularization
+    U diag(1,1,eps) U^T = I - (1-eps) n n^T — which needs only the
+    smallest eigenvector, so the analytic eigh3 fast path applies).
+
+    Builds a scratch voxel arena over the scan itself and kNNs into it —
+    the same machinery as the map, no O(N^2) pass. Returns (N, 3, 3)."""
+    dtype = pts_body.dtype
+    n = pts_body.shape[0]
+    scratch_cfg = vm.VoxelMapConfig(
+        resolution=ds_leaf * 4.0,
+        capacity=1 << 14,
+        max_points=16,
+        probe_depth=8,
+        nearby_type=6,
+    )
+    scratch = vm.make_map(scratch_cfg, dtype)
+    scratch = vm.insert(scratch, pts_body, pts_mask, scratch_cfg)
+    nbr, _, nv = vm.knn(
+        scratch, pts_body, scratch_cfg, k=cfg.vgicp_source_k, max_dist2=4.0
+    )
+    w = nv.astype(dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nbr * w[..., None], axis=1) / cnt[:, None]
+    d = (nbr - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
+    _, normal = linalg.eigh3_smallest(cov)
+    eye = jnp.eye(3, dtype=dtype)
+    reg = eye - (1.0 - cfg.vgicp_source_eps) * (
+        normal[:, :, None] * normal[:, None, :]
+    )
+    # Points with too few neighbors fall back to isotropic.
+    enough = jnp.sum(nv, axis=1) >= 4
+    return jnp.where(
+        enough[:, None, None], reg, jnp.broadcast_to(eye, reg.shape)
+    ) * cfg.vgicp_source_cov
+
+
 def _innovation_vgicp(
     rot: jnp.ndarray,
     pos: jnp.ndarray,
@@ -169,17 +225,18 @@ def _innovation_vgicp(
     t_il: jnp.ndarray,
     cfg: LioConfig,
     axis_name: str | None = None,
+    src_cov: jnp.ndarray | None = None,
 ):
     """VGICP-style distribution-to-point innovation (capability port of the
     reference's USE_VGICP h_share_model, laser_mapping.cpp:418-481):
 
       error_i = mean(neighbors_i) - p_w_i
-      M_i = (cov(neighbors_i) + sigma_src^2 I)^-1     (Mahalanobis)
+      M_i = (cov(neighbors_i) + R C_src_i R^T)^-1     (Mahalanobis)
       H_i = [R [p_imu]x , -I]  ->  accumulate H^T M H, H^T M error
 
-    The reference estimates per-point source covariances from scan 15-NN
-    (caculate_covariance); an isotropic sigma_src is the standard VGICP
-    regularization and avoids a second kNN pass.
+    src_cov: per-point source covariances in the body frame (from
+    scan_source_covariances); None falls back to isotropic
+    vgicp_source_cov * I.
     """
     dtype = pts_body.dtype
     p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
@@ -190,7 +247,14 @@ def _innovation_vgicp(
     mean_b = jnp.sum(neighbors * w_nb[..., None], axis=1) / cnt[:, None]
     d = (neighbors - mean_b[:, None, :]) * w_nb[..., None]
     cov_b = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
-    rcr = cov_b + jnp.eye(3, dtype=dtype) * cfg.vgicp_source_cov
+    if src_cov is None:
+        rcr = cov_b + jnp.eye(3, dtype=dtype) * cfg.vgicp_source_cov
+    else:
+        # Rotate the body-frame source covariance into the world at the
+        # CURRENT iterate (the reference recomputes R C R^T per iteration).
+        rw = rot @ rot_il
+        rcr = cov_b + jnp.einsum("ij,njk,lk->nil", rw, src_cov, rw)
+        rcr = rcr + jnp.eye(3, dtype=dtype) * 1e-6
 
     err = mean_b - p_w
     valid = (
@@ -346,6 +410,14 @@ def lio_update(
     p_inv = linalg.psd_inverse(state_prop.cov)
 
     surfel_mode = cfg.measurement_model == "surfel"
+    src_cov = None
+    if (
+        cfg.measurement_model == "vgicp"
+        and cfg.vgicp_source_mode == "neighborhood"
+    ):
+        # Per-point anisotropic source covariances, once per scan (the
+        # reference recomputes only the R C R^T rotation per iteration).
+        src_cov = scan_source_covariances(pts_body, pts_mask, cfg)
 
     def search(rot, pos):
         if surfel_mode:
@@ -403,11 +475,10 @@ def lio_update(
                 map_cfg, cfg, axis_name, map_axis,
             )
         else:
-            innov = (
-                _innovation_vgicp
-                if cfg.measurement_model == "vgicp"
-                else _innovation
-            )
+            if cfg.measurement_model == "vgicp":
+                innov = partial(_innovation_vgicp, src_cov=src_cov)
+            else:
+                innov = _innovation
             hth6, hty6, n_eff, res_sum = innov(
                 c.rot, c.pos, pts_body, pts_mask, nbr, nbr_valid, rot_il, t_il,
                 cfg, axis_name,

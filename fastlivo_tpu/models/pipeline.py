@@ -100,6 +100,12 @@ class StepConfig:
                 measurement_model=cfg.lio.measurement_model,
                 max_jump_m=cfg.lio.max_jump_m,
                 min_effective=cfg.lio.min_effective,
+                vgicp_source_cov=cfg.lio.vgicp_source_cov,
+                vgicp_source_mode=cfg.lio.vgicp_source_mode,
+                vgicp_source_k=cfg.lio.vgicp_source_k,
+                surfel_min_points=cfg.lio.surfel_min_points,
+                surfel_planarity_max=cfg.lio.surfel_planarity_max,
+                surfel_conf_weight=cfg.lio.surfel_conf_weight,
             ),
             ds_leaf=cfg.lio.filter_size_surf,
             ds_capacity=cfg.lio.max_points,
@@ -287,12 +293,18 @@ def lio_scan_multi(
     """K scan-end measurement updates in ONE dispatch (lax.scan over a
     stacked batch of measurement groups).
 
-    On a remote/tunneled TPU the per-dispatch host round trip (~100-300 ms)
-    dwarfs the ~0.2 ms device compute; batching K groups amortizes it K-fold
-    (ROADMAP item 3 / VERDICT r1 item 5). `scans` is a ScanInput whose
-    leaves carry a leading K axis. Returns (posterior state, map,
-    summaries (K, 11), (world clouds (K, N, 3), masks (K, N))) — identical
-    results to K sequential `lio_scan_step` calls (regression-tested).
+    `scans` is a ScanInput whose leaves carry a leading K axis. Returns
+    (posterior state, map, summaries (K, 11), (world clouds (K, N, 3),
+    masks (K, N))) — identical results to K sequential `lio_scan_step`
+    calls (regression-tested).
+
+    CAVEAT (measured on TPU v5e): lax.scan double-buffers its carry, so
+    the sparsely-scatter-updated map arena is fully copied every
+    iteration (~0.2 s/scan for a 250 MB arena) — slower than chaining the
+    per-scan program. LivoPipeline therefore batches by chaining
+    `lio_scan_step` dispatches and deferring the summary fetches
+    (process_scan/flush_scans); this function remains for offline stacked
+    replay on hosts where the arena fits cache-friendly sizes.
     """
 
     def body(carry, scan):
@@ -482,10 +494,14 @@ class LivoPipeline:
             static_argnames=("cfg", "axis_name"),
             donate_argnames=("lidar_map",),
         )
-        # Scan batching (ROADMAP item 3): queue K scan-end groups and run
-        # them through ONE lax.scan dispatch — on a remote TPU the host
-        # round trip dominates, so this amortizes it K-fold. Only safe when
-        # nothing host-side must observe the state between scans (no GNSS
+        # Scan batching (ROADMAP item 3): dispatch scan steps back-to-back
+        # WITHOUT fetching results, and drain the (tiny) summary fetches
+        # once per K scans. On a remote TPU a synchronizing fetch costs
+        # ~300 ms while chained dispatches cost ~0.15 ms — and chaining the
+        # already-compiled per-scan program keeps the donated arena
+        # in-place (a lax.scan over the map carry double-buffers it, which
+        # measured ~0.2 s/scan in XLA copies). Only safe when nothing
+        # host-side must observe the state between scans (no GNSS
         # linearization, no VIO interleaving).
         self.scan_batch = int(getattr(cfg.lio, "scan_batch", 1))
         self._batch_eligible = (
@@ -493,12 +509,7 @@ class LivoPipeline:
             and not cfg.vio.img_enable
             and not cfg.gnss.gnss_en
         )
-        self._scan_buf: list = []  # [(ScanInput, t_abs)]
-        self._step_multi = jax.jit(
-            lio_scan_multi,
-            static_argnames=("cfg", "axis_name"),
-            donate_argnames=("lidar_map",),
-        )
+        self._pending_scans: list = []  # [(t_abs, summary, cloud, mask)]
         self._vio_step = jax.jit(
             vio_scan_step,
             static_argnames=("cfg",),
@@ -551,9 +562,25 @@ class LivoPipeline:
             return None
 
         if self._batch_eligible:
-            self._scan_buf.append((scan, t_abs))
+            # Dispatch now (chained, async), defer the host fetch.
+            if not self._pending_scans:
+                # Rollback target if every scan in this batch is rejected.
+                self._batch_prev_cloud = (self.world_cloud, self.world_mask)
+            (
+                self.state,
+                self.map,
+                _info,
+                (self.world_cloud, self.world_mask),
+                summary,
+            ) = self._step(
+                self.state, self.map, scan, self.rot_il, self.t_il,
+                self.step_cfg,
+            )
             self._epoch_stamps.append(t_abs)
-            if len(self._scan_buf) >= self.scan_batch:
+            self._pending_scans.append(
+                (t_abs, summary, self.world_cloud, self.world_mask)
+            )
+            if len(self._pending_scans) >= self.scan_batch:
                 self.flush_scans()
             return None
 
@@ -613,22 +640,21 @@ class LivoPipeline:
         return info
 
     def flush_scans(self):
-        """Dispatch any queued scan-end groups as ONE lax.scan device call
-        (see lio_scan_multi) and replay the per-scan host bookkeeping from
-        the stacked summaries — a single device->host fetch per batch."""
-        if not self._scan_buf:
+        """Drain the pending (already-dispatched) scan steps: one blocking
+        sync, then the per-scan host bookkeeping from the tiny summary
+        fetches (cheap once results are ready). The device work itself was
+        chained asynchronously by process_scan."""
+        if not self._pending_scans:
             return
-        buf, self._scan_buf = self._scan_buf, []
-        scans = jax.tree.map(lambda *xs: jnp.stack(xs), *[s for s, _ in buf])
-        stamps = [t for _, t in buf]
-        self.state, self.map, summaries, (clouds, masks) = self._step_multi(
-            self.state, self.map, scans, self.rot_il, self.t_il, self.step_cfg
-        )
-        s = np.asarray(summaries)  # (K, 11) — one fetch for the whole batch
+        pending, self._pending_scans = self._pending_scans, []
+        jax.block_until_ready(pending[-1][1])  # one sync for the chain
         last_ok = None
-        for k, t_abs in enumerate(stamps):
-            pos, quat = s[k, 0:3], s[k, 3:7]
-            n_eff, accepted = int(s[k, 7]), bool(s[k, 9] > 0.5)
+        from scipy.spatial.transform import Rotation as _R
+
+        for k, (t_abs, summary, cloud, mask) in enumerate(pending):
+            s = np.asarray(summary)
+            pos, quat = s[0:3], s[3:7]
+            n_eff, accepted = int(s[7]), bool(s[9] > 0.5)
             if n_eff < self._min_effective:
                 self.health["low_constraint"] += 1
             if not accepted:
@@ -636,24 +662,20 @@ class LivoPipeline:
                 self.health["resets"] += 1
             else:
                 last_ok = k
+                if self.loop_backend is not None:
+                    wc = np.asarray(cloud)[np.asarray(mask)]
+                    # quat is wxyz; scipy expects xyzw
+                    rot = _R.from_quat(
+                        [quat[1], quat[2], quat[3], quat[0]]
+                    ).as_matrix()
+                    self.loop_backend.on_scan(
+                        rot, pos, wc, stamp=t_abs, img=self._last_vio_img
+                    )
             self.trajectory.append((t_abs, pos, quat))
-        if self.loop_backend is not None:
-            # Feed keyframe clouds in order (rotation from the recorded quat).
-            from fastlivo_tpu.ops import so3 as so3_ops
-
-            for k, t_abs in enumerate(stamps):
-                if not bool(s[k, 9] > 0.5):
-                    continue
-                wc = np.asarray(clouds[k])[np.asarray(masks[k])]
-                rot = np.asarray(
-                    so3_ops.quat_to_rot(jnp.asarray(s[k, 3:7], self.dtype))
-                )
-                self.loop_backend.on_scan(
-                    rot, s[k, 0:3], wc, stamp=t_abs, img=self._last_vio_img
-                )
         if last_ok is not None:
-            self.world_cloud = clouds[last_ok]
-            self.world_mask = masks[last_ok]
+            _, _, self.world_cloud, self.world_mask = pending[last_ok]
+        else:
+            self.world_cloud, self.world_mask = self._batch_prev_cloud
 
     def reanchor_map(self) -> bool:
         """Re-anchor the live voxel arena with loop-corrected keyframe

@@ -115,7 +115,7 @@ def run_log(
             with timer.stage("window_build"):
                 scan_input, t_abs = builder.build(group)
                 scan_input = scan_input._replace(
-                    acc_scale=jnp.float32(pipe.acc_scale)
+                    acc_scale=np.float32(pipe.acc_scale)
                 )
             if n_scans < skip_scans:
                 # Resumed: ALL groups before the checkpoint (scan-end AND

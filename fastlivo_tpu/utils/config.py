@@ -76,6 +76,16 @@ class LioParams:
     cube_len: float = 2000.0
     # "point_to_plane" | "vgicp" | "surfel" (see models/lio.py LioConfig)
     measurement_model: str = "point_to_plane"
+    # vgicp source-covariance model: "neighborhood" (per-point GICP
+    # plane-regularized covs from scan self-kNN, reference
+    # caculate_covariance) or "isotropic".
+    vgicp_source_cov: float = 0.01
+    vgicp_source_mode: str = "neighborhood"
+    vgicp_source_k: int = 8
+    # surfel measurement-model knobs (models/lio.py LioConfig)
+    surfel_min_points: float = 6.0
+    surfel_planarity_max: float = 0.01
+    surfel_conf_weight: bool = True
     # EKF warm-up: skip filter updates (but keep inserting scans at the
     # propagated pose) for this long after the first scan — the reference's
     # INIT_TIME / flg_EKF_inited gate (laser_mapping.h:58,

@@ -35,7 +35,7 @@ def run_once(seq):
         if g is None:
             continue
         si, t = builder.build(g)
-        si = si._replace(acc_scale=jnp.float32(1.0))
+        si = si._replace(acc_scale=np.float32(1.0))
         if pipe.process_scan(si, t) is not None:
             out.append(np.asarray(pipe.state.pos).copy())
     return np.asarray(out)

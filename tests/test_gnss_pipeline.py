@@ -50,7 +50,7 @@ def test_lio_with_gnss(rng):
         if group is None:
             continue
         si, t_abs = builder.build(group)
-        si = si._replace(acc_scale=jnp.float32(1.0))
+        si = si._replace(acc_scale=np.float32(1.0))
         info = pipe.process_scan(si, T_UNIX0 + t_abs)
         if info is not None:
             est.append((t_abs, np.asarray(pipe.state.pos)))

@@ -79,7 +79,7 @@ def drive_livo(seq, cfg):
             pending = next(imu_iter, None)
         while (group := sync.next_group()) is not None:
             scan_input, t_abs = builder.build(group)
-            scan_input = scan_input._replace(acc_scale=jnp.float32(pipe.acc_scale))
+            scan_input = scan_input._replace(acc_scale=np.float32(pipe.acc_scale))
             if group.is_lidar_end:
                 info = pipe.process_scan(scan_input, t_abs)
                 if info is not None:
@@ -185,7 +185,7 @@ def test_surfel_model_lio_tracks(seq):
             pending = next(imu_iter, None)
         while (group := sync.next_group()) is not None:
             scan_input, t_abs = builder.build(group)
-            scan_input = scan_input._replace(acc_scale=jnp.float32(pipe.acc_scale))
+            scan_input = scan_input._replace(acc_scale=np.float32(pipe.acc_scale))
             if pipe.process_scan(scan_input, t_abs) is not None:
                 est.append((t_abs, np.asarray(pipe.state.pos)))
 

@@ -50,7 +50,7 @@ def run_pipeline(seq, cfg):
         if group is None:
             continue
         scan_input, t_abs = builder.build(group)
-        scan_input = scan_input._replace(acc_scale=jnp.float32(pipe.acc_scale))
+        scan_input = scan_input._replace(acc_scale=np.float32(pipe.acc_scale))
         info = pipe.process_scan(scan_input, t_abs)
         if info is not None:
             est.append((t_abs, np.asarray(pipe.state.pos)))
