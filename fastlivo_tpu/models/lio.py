@@ -390,19 +390,20 @@ def lio_update(
       pts_body: (N, 3) downsampled, undistorted scan in the LiDAR frame.
       extra_hth/extra_hty: optional additional 18x18 / 18 innovation blocks
         (GNSS observation, reference laser_mapping.cpp:616-621).
-      axis_name: mesh axis over which pts_body is SHARDED (replicated map);
-        innovations are psummed over it.
+      axis_name: mesh axis over which pts_body is SHARDED; innovations are
+        psummed over it (replicated map, or the "hosts" axis of a 2-D
+        hosts x chips mesh).
       map_axis: mesh axis over which lidar_map is SHARDED (hash-partitioned
-        voxel ownership); pts_body must then be the full replicated scan
-        and axis_name must be None — lookups run against the local shard
-        and merge over the axis, the innovation itself is replicated.
+        voxel ownership); pts_body must then be REPLICATED across this
+        axis — lookups run against the local shard and merge over it.
+        With BOTH axes set (2-D mesh): each axis_name-group holds its
+        query slice (replicated across map_axis within the group), lookups
+        merge over map_axis (ICI), and the small innovation psums over
+        axis_name (DCN) — the only cross-host traffic.
 
     Returns (posterior state, diagnostics, (neighbors, neighbor_valid))
     where the neighbor cache is reused by the map-insert gate.
     """
-    assert not (axis_name is not None and map_axis is not None), (
-        "points-sharded innovation and sharded map arena are exclusive modes"
-    )
     dtype = pts_body.dtype
     n = pts_body.shape[0]
     k = cfg.num_match_points

@@ -179,28 +179,43 @@ def lio_scan_step(
         scan.pts, scan.t_offs, scan.mask, poses, state_prop, rot_il, t_il
     )
 
-    map_axis = axis_name if (axis_name is not None and cfg.map_sharded) else None
+    # Axis roles. axis_name may be a single mesh axis or a (hosts, chips)
+    # tuple: with cfg.map_sharded the LAST axis shards the map (merged over
+    # ICI) and any LEADING axes shard the queries/innovation work (psummed
+    # — the only DCN traffic on a multi-host mesh is that 6x6+6 psum plus
+    # the gathered gated scan).
+    if axis_name is None:
+        map_axis = query_axis = None
+    elif cfg.map_sharded:
+        if isinstance(axis_name, tuple):
+            map_axis = axis_name[-1]
+            query_axis = (
+                axis_name[0] if len(axis_name) == 2 else axis_name[:-1]
+            ) if len(axis_name) > 1 else None
+        else:
+            map_axis, query_axis = axis_name, None
+    else:
+        map_axis, query_axis = None, axis_name
+
     if axis_name is None:
         ds_pts, ds_mask = voxelize.voxel_downsample(
             pts_und, scan.mask, cfg.ds_leaf, cfg.ds_capacity
         )
     else:
         # Global voxel dedup: gather the (small) undistorted scan, downsample
-        # identically everywhere, keep this device's slice of the output.
+        # identically everywhere, then each group takes its query slice.
         all_pts = jax.lax.all_gather(pts_und, axis_name, tiled=True)
         all_mask = jax.lax.all_gather(scan.mask, axis_name, tiled=True)
         ds_all, ds_all_mask = voxelize.voxel_downsample(
             all_pts, all_mask, cfg.ds_leaf, cfg.ds_capacity
         )
-        if map_axis is not None:
-            # Sharded-map mode: the (small) downsampled scan stays
-            # replicated — lookups against the sharded arena need every
-            # query visible on every shard.
+        if query_axis is None:
+            # Map-sharded 1-D mesh: queries stay fully replicated.
             ds_pts, ds_mask = ds_all, ds_all_mask
         else:
-            ndev = jax.lax.axis_size(axis_name)
+            ndev = jax.lax.axis_size(query_axis)
             shard = cfg.ds_capacity // ndev
-            idx = jax.lax.axis_index(axis_name)
+            idx = jax.lax.axis_index(query_axis)
             ds_pts = jax.lax.dynamic_slice_in_dim(ds_all, idx * shard, shard)
             ds_mask = jax.lax.dynamic_slice_in_dim(ds_all_mask, idx * shard, shard)
 
@@ -215,7 +230,7 @@ def lio_scan_step(
         cfg.lio_cfg,
         extra_hth=extra_hth,
         extra_hty=extra_hty,
-        axis_name=None if map_axis is not None else axis_name,
+        axis_name=query_axis,
         map_axis=map_axis,
     )
 
@@ -261,8 +276,13 @@ def lio_scan_step(
     if axis_name is None:
         lidar_map = vm.insert(lidar_map, p_w, add, cfg.map_cfg)
     elif map_axis is not None:
-        # Sharded arena: p_w/add are already the full replicated scan;
-        # each device scatters only the voxels it owns.
+        # Sharded arena: every device needs the full gated scan to insert
+        # its owned voxels; gather the query slices (no-op when queries
+        # were replicated on a 1-D map mesh).
+        if query_axis is not None:
+            p_w = jax.lax.all_gather(p_w, query_axis, tiled=True)
+            add = jax.lax.all_gather(add, query_axis, tiled=True)
+            ds_mask = jax.lax.all_gather(ds_mask, query_axis, tiled=True)
         lidar_map = vm.sharded_insert(lidar_map, p_w, add, cfg.map_cfg, map_axis)
     else:
         # Keep map replicas identical: insert the full gated scan everywhere.
@@ -409,7 +429,8 @@ def bootstrap_map(
     )
     _, p_w = lio.transform_to_world(ds_pts, state.rot, state.pos, rot_il, t_il)
     if axis_name is not None and cfg.map_sharded:
-        return vm.sharded_insert(lidar_map, p_w, ds_mask, cfg.map_cfg, axis_name)
+        map_axis = axis_name[-1] if isinstance(axis_name, tuple) else axis_name
+        return vm.sharded_insert(lidar_map, p_w, ds_mask, cfg.map_cfg, map_axis)
     return vm.insert(lidar_map, p_w, ds_mask, cfg.map_cfg)
 
 

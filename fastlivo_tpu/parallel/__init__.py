@@ -3,8 +3,10 @@ from fastlivo_tpu.parallel.distributed import (  # noqa: F401
     make_global_mesh,
 )
 from fastlivo_tpu.parallel.sharded import (  # noqa: F401
+    HOSTS_AXIS,
     POINTS_AXIS,
     make_mesh,
+    make_mesh_2d,
     make_sharded_bootstrap,
     make_sharded_lio_step,
     make_sharded_map,

@@ -40,6 +40,7 @@ from fastlivo_tpu.models import pipeline as pl_mod
 from fastlivo_tpu.state import NavState
 
 POINTS_AXIS = "points"
+HOSTS_AXIS = "hosts"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -50,9 +51,27 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (POINTS_AXIS,))
 
 
+def make_mesh_2d(n_hosts: int, n_chips: int) -> Mesh:
+    """2-D (hosts x chips) mesh for multi-host map sharding: the map is
+    partitioned over the fast inner axis (ICI within a host/slice) and
+    queries/innovation work over the outer axis (DCN between hosts) — the
+    only DCN traffic per iteration is the 6x6+6 innovation psum plus one
+    gathered gated scan per step."""
+    devs = np.asarray(jax.devices()[: n_hosts * n_chips]).reshape(
+        n_hosts, n_chips
+    )
+    return Mesh(devs, (HOSTS_AXIS, POINTS_AXIS))
+
+
+def _point_axes(mesh: Mesh):
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
 def shard_scan(scan: pl_mod.ScanInput, mesh: Mesh) -> pl_mod.ScanInput:
-    """Place a scan with points sharded, IMU window + scalars replicated."""
-    pspec = NamedSharding(mesh, P(POINTS_AXIS))
+    """Place a scan with points sharded over ALL mesh axes, IMU window +
+    scalars replicated."""
+    pspec = NamedSharding(mesh, P(_point_axes(mesh)))
     rspec = NamedSharding(mesh, P())
     return pl_mod.ScanInput(
         pts=jax.device_put(scan.pts, pspec),
@@ -64,34 +83,41 @@ def shard_scan(scan: pl_mod.ScanInput, mesh: Mesh) -> pl_mod.ScanInput:
     )
 
 
-def _map_specs(m: pl_mod.vm.VoxelHashMap, sharded: bool):
-    """PartitionSpecs for the map pytree: sharded on the capacity axis
-    (except the scalar epoch) or fully replicated."""
+def _map_axis(mesh: Mesh) -> str:
+    """The mesh axis the arena shards over: the last (fastest/ICI) axis."""
+    return tuple(mesh.axis_names)[-1]
+
+
+def _map_specs(m: pl_mod.vm.VoxelHashMap, sharded: bool, mesh: Mesh):
+    """PartitionSpecs for the map pytree: sharded on the capacity axis over
+    the inner mesh axis (replicated over any outer axes; scalar epoch
+    replicated), or fully replicated."""
     if not sharded:
         return jax.tree.map(lambda _: P(), m)
-    return jax.tree.map(
-        lambda x: P() if x.ndim == 0 else P(POINTS_AXIS), m
-    )
+    ax = _map_axis(mesh)
+    return jax.tree.map(lambda x: P() if x.ndim == 0 else P(ax), m)
 
 
 def make_sharded_map(
     map_cfg: pl_mod.vm.VoxelMapConfig, mesh: Mesh, dtype=None
 ) -> pl_mod.vm.VoxelHashMap:
     """Create an empty GLOBAL arena for map_sharded mode: per-device local
-    capacity `map_cfg.capacity`, global arrays of capacity * n_devices
-    sharded over the mesh axis (epoch replicated)."""
+    capacity `map_cfg.capacity`, global arrays of capacity * n_chips
+    sharded over the inner mesh axis (replicated over outer axes; epoch
+    replicated)."""
     import jax.numpy as jnp
 
-    ndev = mesh.devices.size
+    ax = _map_axis(mesh)
+    n_shards = mesh.shape[ax]
     kw = {} if dtype is None else {"dtype": dtype}
     local = pl_mod.vm.make_map(map_cfg, **kw)
 
     def expand(x):
         if x.ndim == 0:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        rep = jnp.tile(x, (ndev,) + (1,) * (x.ndim - 1))
+        rep = jnp.tile(x, (n_shards,) + (1,) * (x.ndim - 1))
         return jax.device_put(
-            rep, NamedSharding(mesh, P(*((POINTS_AXIS,) + (None,) * (x.ndim - 1))))
+            rep, NamedSharding(mesh, P(*((ax,) + (None,) * (x.ndim - 1))))
         )
 
     return jax.tree.map(expand, local)
@@ -111,23 +137,26 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
     """
     from fastlivo_tpu.models.imu import ImuWindow
 
+    axes = _point_axes(mesh)
+    if isinstance(axes, tuple) and not cfg.map_sharded:
+        raise ValueError("multi-axis meshes require cfg.map_sharded=True")
     scan_specs = pl_mod.ScanInput(
-        pts=P(POINTS_AXIS),
-        t_offs=P(POINTS_AXIS),
-        mask=P(POINTS_AXIS),
+        pts=P(axes),
+        t_offs=P(axes),
+        mask=P(axes),
         imu=ImuWindow(stamps=P(), gyr=P(), acc=P(), mask=P()),
         t_end=P(),
         acc_scale=P(),
     )
 
     state_specs = jax.tree.map(lambda _: P(), NavState.identity())
-    map_specs = _map_specs(pl_mod.vm.make_map(cfg.map_cfg), cfg.map_sharded)
+    map_specs = _map_specs(pl_mod.vm.make_map(cfg.map_cfg), cfg.map_sharded, mesh)
     info_specs = pl_mod.lio.LioInfo(
         n_effective=P(), res_mean=P(), iterations=P(), converged=P()
     )
-    cloud_spec = P() if cfg.map_sharded else P(POINTS_AXIS)
+    cloud_spec = P() if cfg.map_sharded else P(axes)
 
-    fn = partial(pl_mod.lio_scan_step, cfg=cfg, axis_name=POINTS_AXIS)
+    fn = partial(pl_mod.lio_scan_step, cfg=cfg, axis_name=axes)
 
     sharded = jax.shard_map(
         lambda state, m, scan, rot_il, t_il: fn(state, m, scan, rot_il, t_il),
@@ -149,18 +178,19 @@ def make_sharded_bootstrap(mesh: Mesh, cfg: pl_mod.StepConfig):
     """SPMD first-scan map init matching `make_sharded_lio_step`'s specs."""
     from fastlivo_tpu.models.imu import ImuWindow
 
+    axes = _point_axes(mesh)
     scan_specs = pl_mod.ScanInput(
-        pts=P(POINTS_AXIS),
-        t_offs=P(POINTS_AXIS),
-        mask=P(POINTS_AXIS),
+        pts=P(axes),
+        t_offs=P(axes),
+        mask=P(axes),
         imu=ImuWindow(stamps=P(), gyr=P(), acc=P(), mask=P()),
         t_end=P(),
         acc_scale=P(),
     )
     state_specs = jax.tree.map(lambda _: P(), NavState.identity())
-    map_specs = _map_specs(pl_mod.vm.make_map(cfg.map_cfg), cfg.map_sharded)
+    map_specs = _map_specs(pl_mod.vm.make_map(cfg.map_cfg), cfg.map_sharded, mesh)
 
-    fn = partial(pl_mod.bootstrap_map, cfg=cfg, axis_name=POINTS_AXIS)
+    fn = partial(pl_mod.bootstrap_map, cfg=cfg, axis_name=axes)
     sharded = jax.shard_map(
         lambda m, scan, state, rot_il, t_il: fn(m, scan, state, rot_il, t_il),
         mesh=mesh,
