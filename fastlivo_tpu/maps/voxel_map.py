@@ -48,6 +48,12 @@ class VoxelMapConfig:
     # recent (better-registered) geometry instead of remembering transient
     # pose error forever. 1.0 = infinite memory.
     surfel_decay: float = 0.9
+    # Surfel freezing: moment contributions fade linearly to zero as the
+    # voxel's accumulated count approaches this value, anchoring mature
+    # surfels to their early (best-registered) geometry instead of letting
+    # them track accumulated drift (the map-feedback drift mechanism,
+    # ROADMAP item 9). 0 disables freezing.
+    surfel_freeze_n: float = 0.0
 
     def __post_init__(self):
         assert self.capacity & (self.capacity - 1) == 0, "capacity must be 2^k"
@@ -257,6 +263,9 @@ def insert(
     # vs plane-thickness variance ~1e-4).
     surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
     w = (surf_slot < cfg.capacity).astype(pts.dtype)
+    if cfg.surfel_freeze_n > 0.0:
+        n_cur = m.surf_n[jnp.clip(surf_slot, 0, cfg.capacity - 1)]
+        w = w * jnp.clip(1.0 - n_cur / cfg.surfel_freeze_n, 0.0, 1.0)
     pts_l = pts - voxel_corner(vox, cfg.resolution, pts.dtype)
     surf_n, surf_s1, surf_s2 = m.surf_n, m.surf_s1, m.surf_s2
     if cfg.surfel_decay < 1.0:

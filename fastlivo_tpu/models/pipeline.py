@@ -87,6 +87,8 @@ class StepConfig:
                 max_points=cfg.map.max_points_per_voxel,
                 nearby_type=cfg.map.nearby_type,
                 probe_depth=cfg.map.probe_depth,
+                surfel_decay=cfg.map.surfel_decay,
+                surfel_freeze_n=cfg.map.surfel_freeze_n,
             ),
             lio_cfg=lio.LioConfig(
                 max_iteration=cfg.lio.max_iteration,

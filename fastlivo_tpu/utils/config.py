@@ -58,6 +58,12 @@ class MapParams:
     nearby_type: int = 18  # 0 | 6 | 18 | 26 neighbor voxels for kNN
     num_match_points: int = 5  # kNN for plane fit (NUM_MATCH_POINTS)
     probe_depth: int = 8  # linear-probe window for the hash
+    # Surfel-moment dynamics (see maps/voxel_map.VoxelMapConfig): decay
+    # forgets history (robustness to transient pose error); freeze anchors
+    # mature surfels to early geometry (counters map-feedback drift). When
+    # freeze_n > 0 use decay = 1.0 (decay erodes frozen voxels' counts).
+    surfel_decay: float = 0.9
+    surfel_freeze_n: float = 0.0
 
 
 @dataclass

@@ -94,3 +94,45 @@ def test_lru_eviction_bounded():
     # Recent points should be findable.
     _, _, valid = jknn(m, jnp.asarray(pts[:10]), small, k=1)
     assert bool(jnp.any(valid))
+
+
+def test_surfel_freeze_stops_moment_growth():
+    """surfel_freeze_n: moment contributions fade to zero as a voxel's
+    count approaches the freeze threshold (drift-anchoring knob)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastlivo_tpu.maps import voxel_map as vm
+
+    cfg = vm.VoxelMapConfig(
+        resolution=0.5, capacity=1 << 8, max_points=8,
+        surfel_decay=1.0, surfel_freeze_n=20.0,
+    )
+    ins = jax.jit(vm.insert, static_argnames="cfg")
+    rng = np.random.default_rng(0)
+    # 10 points in one voxel per insert
+    def batch(off):
+        return jnp.asarray(
+            (rng.uniform(0.1, 0.4, (10, 3)) + off).astype(np.float32)
+        )
+
+    m = vm.make_map(cfg)
+    m = ins(m, batch(0.0), jnp.ones(10, bool), cfg)
+    n1 = float(m.surf_n.max())
+    assert 5.0 <= n1 <= 10.0  # first insert contributes ~fully
+    for _ in range(10):
+        m = ins(m, batch(0.0), jnp.ones(10, bool), cfg)
+    n_mid = float(m.surf_n.max())
+    assert n_mid <= cfg.surfel_freeze_n + 1e-3  # saturates at freeze_n
+    m2 = ins(m, batch(0.0), jnp.ones(10, bool), cfg)
+    assert float(m2.surf_n.max()) - n_mid < 0.5  # frozen: ~no growth
+
+    # Disabled (freeze_n=0): count grows without bound.
+    cfg0 = dataclasses.replace(cfg, surfel_freeze_n=0.0)
+    m0 = vm.make_map(cfg0)
+    for _ in range(12):
+        m0 = ins(m0, batch(0.0), jnp.ones(10, bool), cfg0)
+    assert float(m0.surf_n.max()) > 100.0
