@@ -43,23 +43,24 @@ POINTS_AXIS = "points"
 HOSTS_AXIS = "hosts"
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    """1-D device mesh over the points axis."""
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the points axis (default devices: jax.devices();
+    pass `devices` explicitly to build e.g. a CPU mesh while another
+    platform is the default backend)."""
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (POINTS_AXIS,))
 
 
-def make_mesh_2d(n_hosts: int, n_chips: int) -> Mesh:
+def make_mesh_2d(n_hosts: int, n_chips: int, devices=None) -> Mesh:
     """2-D (hosts x chips) mesh for multi-host map sharding: the map is
     partitioned over the fast inner axis (ICI within a host/slice) and
     queries/innovation work over the outer axis (DCN between hosts) — the
     only DCN traffic per iteration is the 6x6+6 innovation psum plus one
     gathered gated scan per step."""
-    devs = np.asarray(jax.devices()[: n_hosts * n_chips]).reshape(
-        n_hosts, n_chips
-    )
+    devs = jax.devices() if devices is None else list(devices)
+    devs = np.asarray(devs[: n_hosts * n_chips]).reshape(n_hosts, n_chips)
     return Mesh(devs, (HOSTS_AXIS, POINTS_AXIS))
 
 
