@@ -209,7 +209,18 @@ def main(argv=None):
         "--set", action="append", default=[],
         help="override, e.g. --set vio.img_enable=0",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force the jax platform (default: environment's default backend)",
+    )
     args = parser.parse_args(argv)
+
+    if args.platform is not None:
+        # Must happen before jax initializes any backend (a sitecustomize
+        # may preload a TPU plugin; the env var alone is too late there).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from fastlivo_tpu.utils.config import load_config
 
