@@ -111,6 +111,127 @@ def patch_residual_grad(
     return val, du, dv
 
 
+def pad_image(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Zero-pad an image on all sides (OOB patch texels read 0, matching
+    the reference's warpAffine border behavior, lidar_selection.cpp:276)."""
+    return jnp.pad(img, ((pad, pad), (pad, pad)))
+
+
+def extract_windows(
+    img_pad: jnp.ndarray, origins: jnp.ndarray, win: int, pad: int
+) -> jnp.ndarray:
+    """One contiguous (win, win) block per candidate from a padded image.
+
+    origins: (N, 2) int32 (u, v) top-left corners in UNPADDED pixel
+    coordinates. Windows whose origin lies within [-pad, dim + pad - win]
+    are exact; origins outside are clamped (callers gate such candidates).
+
+    This is THE fast path for per-candidate patch work on TPU: a block
+    slice is a gather of contiguous rows, ~10x cheaper than the equivalent
+    scattered per-texel gathers (see strided_patch_sample).
+    """
+    hp, wp = img_pad.shape
+    ou = jnp.clip(origins[:, 0] + pad, 0, wp - win)
+    ov = jnp.clip(origins[:, 1] + pad, 0, hp - win)
+
+    def slc(ov1, ou1):
+        return jax.lax.dynamic_slice(img_pad, (ov1, ou1), (win, win))
+
+    return jax.vmap(slc)(ov, ou)
+
+
+def strided_patch_sample(
+    img_pad: jnp.ndarray,
+    centers: jnp.ndarray,
+    strides: jnp.ndarray,
+    patch_size: int,
+    pad: int,
+    stride_set: Tuple[int, ...] = (1, 2, 4),
+    grad_units=None,
+):
+    """Patch (+ optional gradient) bilinear sampling on a stride lattice,
+    window-based.
+
+    Samples img at `centers[n] + strides[n] * m` for m on the centered
+    patch_size x patch_size integer grid — the same lattice as
+    `extract_patches` (= the reference's getpatch anchoring,
+    lidar_selection.cpp:117-139: every texel of a patch shares one
+    subpixel fraction). Because the fraction is shared, the whole patch
+    (and its central-difference gradients) is four STATIC strided slices
+    of one contiguous window per candidate, instead of per-texel scattered
+    gathers. Measured on TPU v5e at 208 candidates x 64 px: scattered
+    bilinear ~3.5 ms per iteration; this form ~0.1 ms.
+
+    Args:
+      img_pad: (H + 2 pad, W + 2 pad) zero-padded image (see pad_image).
+      centers: (N, 2) float pixel centers in UNPADDED coordinates.
+      strides: (N,) int32 per-candidate lattice stride; every value must
+        be in `stride_set` (each static stride is computed and the result
+        selected per candidate).
+      patch_size: texels per side.
+      pad: the padding img_pad was built with. Must be >=
+        max_stride * (patch_size // 2 + has_grad) + 2 so in-frame centers
+        never clamp.
+      grad_units: None -> returns val (N, patch_size^2) only. Otherwise a
+        (N,) array of pixel units per lattice step (e.g. stride * 2^level
+        when sampling pyramid level `level` of a full-resolution frame);
+        returns (val, du, dv) with gradients per *unit* (full-res px).
+
+    Returns val or (val, du, dv), each (N, patch_size^2), row-major
+    (v slow, u fast) like patch_grid/extract_patches.
+    """
+    dtype = img_pad.dtype
+    half = patch_size // 2
+    g = 0 if grad_units is None else 1
+    n_lat = patch_size + 2 * g  # lattice points per axis (m = -half-g .. )
+    max_s = max(stride_set)
+    win = (n_lat - 1) * max_s + 2
+
+    i0 = jnp.floor(centers)
+    frac = (centers - i0).astype(dtype)  # shared bilinear weight per cand
+    i0 = i0.astype(jnp.int32)
+    origins = i0 - strides[:, None] * (half + g)
+    windows = extract_windows(img_pad, origins, win, pad)
+
+    fu = frac[:, 0][:, None, None]
+    fv = frac[:, 1][:, None, None]
+
+    def lattice(s: int) -> jnp.ndarray:
+        span = (n_lat - 1) * s + 1
+
+        def corner(dv, du):
+            return jax.lax.slice(
+                windows, (0, dv, du), (windows.shape[0], dv + span, du + span),
+                (1, s, s),
+            )
+
+        return (
+            corner(0, 0) * (1 - fu) * (1 - fv)
+            + corner(0, 1) * fu * (1 - fv)
+            + corner(1, 0) * (1 - fu) * fv
+            + corner(1, 1) * fu * fv
+        )  # (N, n_lat, n_lat) bilinear values at lattice points
+
+    lat = lattice(stride_set[0])
+    for s in stride_set[1:]:
+        lat = jnp.where((strides == s)[:, None, None], lattice(s), lat)
+
+    n = centers.shape[0]
+    val = lat[:, g : g + patch_size, g : g + patch_size].reshape(n, -1)
+    if grad_units is None:
+        return val
+    inv = (1.0 / jnp.maximum(grad_units, 1e-9)).astype(dtype)[:, None]
+    du = 0.5 * (
+        lat[:, g : g + patch_size, 2 : 2 + patch_size]
+        - lat[:, g : g + patch_size, 0:patch_size]
+    ).reshape(n, -1) * inv
+    dv = 0.5 * (
+        lat[:, 2 : 2 + patch_size, g : g + patch_size]
+        - lat[:, 0:patch_size, g : g + patch_size]
+    ).reshape(n, -1) * inv
+    return val, du, dv
+
+
 def sample_patch_grid(
     patches: jnp.ndarray, coords: jnp.ndarray
 ) -> jnp.ndarray:

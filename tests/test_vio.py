@@ -148,13 +148,7 @@ def make_vmap_from_frame(rcw, pcw, rng, n=400):
     uv = CAM.project(p_c)
     ok = (p_c[:, 2] > 0.5) & CAM.in_frame(uv, border=48)
     score = img_ops.shi_tomasi(img, uv)
-    patches = jnp.stack(
-        [
-            img_ops.extract_patches(img, uv, VM_CFG.stored_patch, 1 << lvl)
-            for lvl in range(VM_CFG.levels)
-        ],
-        axis=1,
-    ).reshape(n, VM_CFG.levels, VM_CFG.stored_patch, VM_CFG.stored_patch)
+    patches = vio.stored_patch_pyramid(img, uv, VM_CFG)
     m = vmap_mod.make_visual_map(VM_CFG)
     m = vmap_mod.add_points(m, VM_CFG, pts_j, score, patches, uv, rcw, pcw, ok)
     return m, img
