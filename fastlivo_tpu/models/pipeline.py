@@ -781,6 +781,17 @@ class LivoPipeline:
         """Feed one image-bounded measurement group (VIO update at the image
         timestamp). Returns VioInfo or None before initialization."""
         if not self.initializer.done:
+            # Image-bounded groups carry roughly half of each scan's IMU
+            # window; without feeding them the static init needs twice the
+            # rest time and can run into motion, tilting the gravity
+            # estimate (reference feeds every IMU sample to IMU_init
+            # regardless of measurement type, IMU_Processing.cpp:381-420).
+            ok = self.initializer.push(
+                np.asarray(scan.imu.gyr)[np.asarray(scan.imu.mask)],
+                np.asarray(scan.imu.acc)[np.asarray(scan.imu.mask)],
+            )
+            if ok:
+                self.state = self.initializer.initial_state(self.dtype)
             return None
         if self.step_cfg.cam is None or self.first_scan:
             self._advance(scan)
