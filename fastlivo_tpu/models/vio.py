@@ -171,20 +171,40 @@ def build_depth_image(
     return depth.reshape(cam.height, cam.width)
 
 
-def _depth_continuous(
-    depth_img: jnp.ndarray, uv: jnp.ndarray, z: jnp.ndarray, thresh: float, half: int = 4
+def _pool2d(img: jnp.ndarray, half: int, op, init) -> jnp.ndarray:
+    """Separable (2*half+1)^2 window reduction with SAME padding (two 1-D
+    reduce_window passes: regular memory traffic, no scattered reads)."""
+    k = 2 * half + 1
+    out = jax.lax.reduce_window(img, init, op, (1, k), (1, 1), "SAME")
+    return jax.lax.reduce_window(out, init, op, (k, 1), (1, 1), "SAME")
+
+
+def _depth_window_gate(
+    depth_img: jnp.ndarray,
+    uv: jnp.ndarray,
+    z: jnp.ndarray,
+    thresh: float,
+    half: int = 4,
 ) -> jnp.ndarray:
-    """True when the 9x9 depth neighborhood has no conflicting return
-    (reference: lidar_selection.cpp:476-503)."""
+    """Visibility gate over the (2*half+1)^2 depth-image window around each
+    candidate: at least one scan return there, and none conflicting
+    (|z - d| > thresh). Reference checks the same two conditions tap by tap
+    (lidar_selection.cpp:476-503); here the window min/max over positive
+    depths are dense pooled maps + one gather per candidate — the pooled
+    form is exact because "all positive d within [z-t, z+t] and one exists"
+    depends only on (min, max, existence). The tap-wise form cost ~4 ms per
+    frame on TPU v5e (4096 cands x 81 taps x 2 scattered reads); this is
+    ~0.3 ms."""
     h, w = depth_img.shape
-    r = jnp.arange(-half, half + 1)
-    dv, du = jnp.meshgrid(r, r, indexing="ij")
-    cols = uv[:, None, 0].astype(jnp.int32) + du.reshape(-1)[None, :]
-    rows = uv[:, None, 1].astype(jnp.int32) + dv.reshape(-1)[None, :]
-    ok = (cols >= 0) & (cols < w) & (rows >= 0) & (rows < h)
-    d = depth_img[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
-    conflict = ok & (d > 0) & (jnp.abs(z[:, None] - d) > thresh)
-    return ~jnp.any(conflict, axis=-1)
+    pos = depth_img > 0
+    big = jnp.asarray(jnp.finfo(depth_img.dtype).max, depth_img.dtype)
+    dmax = _pool2d(jnp.where(pos, depth_img, -big), half, jax.lax.max, -big)
+    dmin = _pool2d(jnp.where(pos, depth_img, big), half, jax.lax.min, big)
+    cols = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1)
+    rows = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1)
+    mx = dmax[rows, cols]
+    mn = dmin[rows, cols]
+    return (mx > 0) & (mx <= z + thresh) & (mn >= z - thresh)
 
 
 def _cell_argmin(values: jnp.ndarray, cells: jnp.ndarray, n_cells: int):
@@ -233,9 +253,9 @@ def select(
     # Visibility: the scan must actually return depth near this point
     # (subsumes the reference's sub_feat_map voxel test) and with no
     # conflicting closer/farther surface in the patch footprint.
-    cont = _depth_continuous(depth_img, uv, z, cfg.depth_continuous_thresh)
-    near = _depth_near(depth_img, uv, z, cfg.depth_continuous_thresh)
-    cand = cand & cont & near
+    cand = cand & _depth_window_gate(
+        depth_img, uv, z, cfg.depth_continuous_thresh
+    )
 
     cells = (
         (uv[..., 0] / cfg.grid_size).astype(jnp.int32) * gh
@@ -378,20 +398,6 @@ def select(
         cell_score=cell_score,
     )
     return sel, depth_img
-
-
-def _depth_near(depth_img, uv, z, thresh, half: int = 4):
-    """At least one scan return within `thresh` of the point's depth in the
-    patch footprint — the point lies on currently observed geometry."""
-    h, w = depth_img.shape
-    r = jnp.arange(-half, half + 1)
-    dv, du = jnp.meshgrid(r, r, indexing="ij")
-    cols = uv[:, None, 0].astype(jnp.int32) + du.reshape(-1)[None, :]
-    rows = uv[:, None, 1].astype(jnp.int32) + dv.reshape(-1)[None, :]
-    ok = (cols >= 0) & (cols < w) & (rows >= 0) & (rows < h)
-    d = depth_img[jnp.clip(rows, 0, h - 1), jnp.clip(cols, 0, w - 1)]
-    near = ok & (d > 0) & (jnp.abs(z[:, None] - d) <= thresh)
-    return jnp.any(near, axis=-1)
 
 
 def photometric_update(

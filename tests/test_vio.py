@@ -222,3 +222,31 @@ def test_vio_empty_map_is_safe(rng):
     assert int(info.n_selected) == 0
     assert bool(jnp.all(jnp.isfinite(post.pos)))
     np.testing.assert_allclose(np.asarray(post.pos), np.asarray(prior.pos), atol=1e-5)
+
+
+def test_depth_window_gate_matches_tapwise(rng):
+    """Pooled min/max depth gate == the tap-wise definition: at least one
+    positive return in the 9x9 window and none with |z - d| > thresh."""
+    from fastlivo_tpu.models.vio import _depth_window_gate
+
+    h, w, half, thresh = 40, 56, 4, 0.5
+    depth = rng.uniform(0, 8, (h, w)).astype(np.float32)
+    depth[rng.uniform(size=(h, w)) < 0.6] = 0.0  # sparse returns
+    n = 300
+    uv = rng.uniform(0, [w - 1, h - 1], (n, 2)).astype(np.float32)
+    z = rng.uniform(0, 8, n).astype(np.float32)
+
+    got = np.asarray(
+        _depth_window_gate(
+            jnp.asarray(depth), jnp.asarray(uv), jnp.asarray(z), thresh, half
+        )
+    )
+    want = np.zeros(n, bool)
+    for i in range(n):
+        c, r = int(uv[i, 0]), int(uv[i, 1])
+        taps = depth[
+            max(r - half, 0) : r + half + 1, max(c - half, 0) : c + half + 1
+        ]
+        d = taps[taps > 0]
+        want[i] = d.size > 0 and np.all(np.abs(z[i] - d) <= thresh)
+    np.testing.assert_array_equal(got, want)
