@@ -43,7 +43,11 @@ class VisualMap(NamedTuple):
     active: jnp.ndarray  # (P,) bool
     cursor: jnp.ndarray  # () int32 ring allocation cursor
     # Observation rings:
-    obs_patch: jnp.ndarray  # (P, K, L, 10, 10) strided patch pyramid
+    # Stored patch pyramids are kept FLAT per (point, obs): a 5-D
+    # (P, K, L, S, S) arena makes XLA pick conflicting layouts between
+    # the scatter (store) and gather (select) sites and insert two
+    # ~0.6 ms transpose copies per frame; flat rows are layout-trivial.
+    obs_patch: jnp.ndarray  # (P, K, L*S*S) strided patch pyramid (flat)
     obs_px: jnp.ndarray  # (P, K, 2) pixel in observing frame
     obs_rcw: jnp.ndarray  # (P, K, 3, 3) world->camera rotation
     obs_pcw: jnp.ndarray  # (P, K, 3)  p_c = rcw @ p_w + pcw
@@ -58,7 +62,7 @@ def make_visual_map(cfg: VisualMapConfig, dtype=jnp.float32) -> VisualMap:
         score=jnp.zeros((p,), dtype),
         active=jnp.zeros((p,), bool),
         cursor=jnp.zeros((), jnp.int32),
-        obs_patch=jnp.zeros((p, k, l, s, s), dtype),
+        obs_patch=jnp.zeros((p, k, l * s * s), dtype),
         obs_px=jnp.zeros((p, k, 2), dtype),
         obs_rcw=jnp.zeros((p, k, 3, 3), dtype),
         obs_pcw=jnp.zeros((p, k, 3), dtype),
@@ -97,7 +101,9 @@ def add_points(
         score=m.score.at[slot].set(score, mode="drop"),
         active=m.active.at[slot].set(True, mode="drop"),
         cursor=(m.cursor + jnp.sum(mask.astype(jnp.int32))) % cfg.capacity,
-        obs_patch=m.obs_patch.at[slot, k0].set(patches, mode="drop"),
+        obs_patch=m.obs_patch.at[slot, k0].set(
+            patches.reshape(n, -1), mode="drop"
+        ),
         obs_px=m.obs_px.at[slot, k0].set(px, mode="drop"),
         obs_rcw=m.obs_rcw.at[slot, k0].set(
             jnp.broadcast_to(rcw, (n, 3, 3)), mode="drop"
@@ -133,7 +139,9 @@ def add_observations(
     k = m.obs_cursor[jnp.clip(idx, 0, cfg.capacity - 1)] % cfg.max_obs
     return m._replace(
         score=m.score.at[i].set(score, mode="drop"),
-        obs_patch=m.obs_patch.at[i, k].set(patches, mode="drop"),
+        obs_patch=m.obs_patch.at[i, k].set(
+            patches.reshape(n, -1), mode="drop"
+        ),
         obs_px=m.obs_px.at[i, k].set(px, mode="drop"),
         obs_rcw=m.obs_rcw.at[i, k].set(
             jnp.broadcast_to(rcw, (n, 3, 3)), mode="drop"

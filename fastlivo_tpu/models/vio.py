@@ -289,7 +289,10 @@ def select(
     ref_rcw = vmap.obs_rcw[pt_idx, obs_k]
     ref_pcw = vmap.obs_pcw[pt_idx, obs_k]
     ref_cam_pos = vmap_mod.obs_cam_pos(ref_rcw, ref_pcw)
-    ref_patches = vmap.obs_patch[pt_idx, obs_k]  # (G, L, S, S)
+    s_st = vm_cfg.stored_patch
+    ref_patches = vmap.obs_patch[pt_idx, obs_k].reshape(
+        -1, vm_cfg.levels, s_st, s_st
+    )  # (G, L, S, S)
 
     # --- affine warp A_cur_ref (reference: getWarpMatrixAffine,
     # lidar_selection.cpp:224-246).
@@ -584,24 +587,50 @@ def maintain(
     z = p_c[..., 2]
     uv = cam.project(p_c)
     ok = scan_mask & (z > 0) & cam.in_frame(uv, border=cfg.border_px)
-    # Dense score map + one gather per point: scoring the full scan with
-    # per-point gathers measured 0.7 s/frame on TPU (65k x box^2 x 8
-    # random reads); the dense map is a few regular passes (~1 ms).
+    # Dense score map + image-space cell reduction. Scoring the full scan
+    # with per-point gathers measured 0.7 s/frame on TPU (65k x box^2 x 8
+    # random reads); per-point score gathers + scatter-argmin into cells
+    # still cost ~2.3 ms/frame. Since the score is a pixel property, the
+    # per-cell winner is found densely instead: one scatter of the point
+    # indices into the pixel grid, then regular blocked max/argmin passes
+    # over the score image (a point's score == its pixel's score, so the
+    # best-scoring hit pixel of a cell is the best-scoring point).
     score_map = img_ops.shi_tomasi_dense(img)
     h_img, w_img = img.shape
     ui = jnp.clip(jnp.floor(uv[:, 0]).astype(jnp.int32), 0, w_img - 1)
     vi = jnp.clip(jnp.floor(uv[:, 1]).astype(jnp.int32), 0, h_img - 1)
-    score = score_map[vi, ui]
-    score = jnp.where(ok, score, -1.0)
-    cells = jnp.clip(
-        (uv[..., 0] / cfg.grid_size).astype(jnp.int32) * gh
-        + (uv[..., 1] / cfg.grid_size).astype(jnp.int32),
-        0,
-        n_cells - 1,
+    n_pts = scan_world.shape[0]
+    flat_px = jnp.where(ok, vi * w_img + ui, h_img * w_img)
+    pt_at_px = (
+        jnp.full((h_img * w_img,), n_pts, jnp.int32)
+        .at[flat_px]
+        .min(jnp.arange(n_pts, dtype=jnp.int32), mode="drop")
     )
-    cell_of = jnp.where(ok, cells, n_cells)
-    winner, has = _cell_argmin(-score, cell_of, n_cells)
-    w_score = score[winner]
+    hit = pt_at_px < n_pts
+    score_hit = jnp.where(hit, score_map.reshape(-1), -1.0)
+    # Pad to whole cells; cell c = (u // g) * gh + (v // g).
+    g = cfg.grid_size
+    ph, pw = gh * g - h_img, gw * g - w_img
+    blocks = lambda a, fill: jnp.pad(
+        a.reshape(h_img, w_img), ((0, ph), (0, pw)), constant_values=fill
+    ).reshape(gh, g, gw, g)
+    sb = blocks(score_hit, -1.0)  # (gh, g, gw, g)
+    cell_max = sb.max(axis=(1, 3))  # (gh, gw)
+    at_max = sb >= cell_max[:, None, :, None]  # non-hit lanes are -1 < max
+    big = float(h_img * w_img)
+    pb = blocks(
+        jnp.arange(h_img * w_img, dtype=jnp.float32), big
+    )  # pixel ids as f32 (exact below 2^24)
+    win_px = (
+        jnp.where(at_max, pb, big).min(axis=(1, 3)).astype(jnp.int32)
+    )  # (gh, gw) first pixel achieving the cell max
+    has2d = cell_max > 0.0
+    winner2d = pt_at_px[jnp.clip(win_px, 0, h_img * w_img - 1)]
+    winner2d = jnp.clip(winner2d, 0, n_pts - 1)
+    # cell order is column-block-major: transpose (gh, gw) -> (gw, gh).
+    winner = winner2d.T.reshape(-1)
+    w_score = cell_max.T.reshape(-1)
+    has = has2d.T.reshape(-1)
     new_ok = has & (w_score > sel.cell_score) & (w_score > 0.0)
 
     new_px = uv[winner]

@@ -25,6 +25,8 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from fastlivo_tpu.ops import pallas_windows
+
 
 def bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample img (H, W) at uv (..., 2); zero outside."""
@@ -133,11 +135,23 @@ def extract_windows(
     hp, wp = img_pad.shape
     ou = jnp.clip(origins[:, 0] + pad, 0, wp - win)
     ov = jnp.clip(origins[:, 1] + pad, 0, hp - win)
-
-    def slc(ov1, ou1):
-        return jax.lax.dynamic_slice(img_pad, (ov1, ou1), (win, win))
-
-    return jax.vmap(slc)(ov, ou)
+    if pallas_windows.supported(img_pad):
+        # TPU: in-VMEM window copies (see ops/pallas_windows.py). XLA's
+        # lowering of any batched-block-gather phrasing is a sequential
+        # while-of-DUS (~0.85 us/candidate/call) or the arbitrary-gather
+        # slow path; the kernel does the same loop entirely in VMEM.
+        starts = jnp.stack([ou, ov], axis=-1).astype(jnp.int32)
+        return pallas_windows.extract_windows_tpu(img_pad, starts, win)
+    # Portable path: batched dynamic-slice via lax.gather with 2-D
+    # slice_sizes (one gather of N contiguous blocks).
+    starts = jnp.stack([ov, ou], axis=-1)  # (N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    return jax.lax.gather(
+        img_pad, starts, dnums, slice_sizes=(win, win),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
 
 
 def strided_patch_sample(
@@ -247,19 +261,28 @@ def sample_patch_grid(
     v = jnp.clip(coords[..., 1], 0.0, s - 1.0)
     u0 = jnp.clip(jnp.floor(u), 0, s - 2).astype(jnp.int32)
     v0 = jnp.clip(jnp.floor(v), 0, s - 2).astype(jnp.int32)
-    fu = u - u0
-    fv = v - v0
-    pidx = jnp.arange(n)[:, None]
+    fu = (u - u0).astype(patches.dtype)
+    fv = (v - v0).astype(patches.dtype)
 
-    def tap(du, dv):
-        return patches[pidx, jnp.clip(v0 + dv, 0, s - 1), jnp.clip(u0 + du, 0, s - 1)]
+    # Bilinear sampling from tiny per-candidate patches as a one-hot
+    # batched matvec: 4 arbitrary gathers over (N, K, s*s) cost ~560 us
+    # per frame on TPU v5e; the equivalent one-hot weight build + einsum
+    # is regular VPU/MXU work (~tens of us). The weight row has exactly
+    # the 4 bilinear taps of each sample.
+    k = s * s
+    texel = jnp.arange(k, dtype=jnp.int32)  # (k,)
+    idx = v0 * s + u0  # (N, K)
 
-    return (
-        tap(0, 0) * (1 - fu) * (1 - fv)
-        + tap(1, 0) * fu * (1 - fv)
-        + tap(0, 1) * (1 - fu) * fv
-        + tap(1, 1) * fu * fv
-    )
+    def oh(off, w):
+        return (idx[..., None] + off == texel) * w[..., None]
+
+    w_mat = (
+        oh(0, (1 - fu) * (1 - fv))
+        + oh(1, fu * (1 - fv))
+        + oh(s, (1 - fu) * fv)
+        + oh(s + 1, fu * fv)
+    )  # (N, K, k)
+    return jnp.einsum("nok,nk->no", w_mat, patches.reshape(n, k))
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
@@ -268,7 +291,19 @@ def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
     cur = img
     for _ in range(levels - 1):
         h, w = cur.shape
-        cur = cur[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3))
+        # reduce_window, not reshape+mean: the (h/2, 2, w/2, 2) reshape
+        # forces a physical relayout on TPU (~110 us at 512x640).
+        cur = (
+            jax.lax.reduce_window(
+                cur[: h - h % 2, : w - w % 2],
+                0.0,
+                jax.lax.add,
+                (2, 2),
+                (2, 2),
+                "VALID",
+            )
+            * 0.25
+        )
         pyr.append(cur)
     return pyr
 

@@ -78,3 +78,33 @@ def test_extract_windows_exact_block(rng):
         np.testing.assert_array_equal(
             out[k], padded[v + 8 : v + 14, u + 8 : u + 14]
         )
+
+
+def test_pallas_window_kernel_interpret(rng):
+    """The pallas TPU window kernel (interpret mode) == the XLA gather
+    formulation used on other platforms."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from fastlivo_tpu.ops import pallas_windows as PW
+
+    img = _img(rng, 48, 64)
+    img_pad = np.asarray(I.pad_image(img, 8))
+    win, pad = 11, 8
+    origins = rng.integers(-8, 50, (17, 2)).astype(np.int32)
+    ou = np.clip(origins[:, 0] + pad, 0, img_pad.shape[1] - win)
+    ov = np.clip(origins[:, 1] + pad, 0, img_pad.shape[0] - win)
+    starts = jnp.asarray(np.stack([ou, ov], -1))
+
+    bh, bw = PW._block_dims(win)
+    hp, wp = img_pad.shape
+    hp2 = PW._round_up(hp - win + bh, PW._SUB)
+    wp2 = PW._round_up(wp - win + bw, PW._LANE)
+    img_big = np.pad(img_pad, ((0, max(hp2 - hp, 0)), (0, max(wp2 - wp, 0))))
+    out = pl.pallas_call(
+        functools.partial(PW._window_kernel, win=win, n=17),
+        out_shape=jax.ShapeDtypeStruct((17, win, win), jnp.float32),
+        interpret=True,
+    )(starts, jnp.asarray(img_big))
+    want = I.extract_windows(jnp.asarray(img_pad), jnp.asarray(origins), win, pad)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
