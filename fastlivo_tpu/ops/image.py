@@ -135,23 +135,33 @@ def extract_windows(
     hp, wp = img_pad.shape
     ou = jnp.clip(origins[:, 0] + pad, 0, wp - win)
     ov = jnp.clip(origins[:, 1] + pad, 0, hp - win)
-    if pallas_windows.supported(img_pad):
-        # TPU: in-VMEM window copies (see ops/pallas_windows.py). XLA's
+
+    def tpu_path(ou, ov):
+        # In-VMEM window copies (see ops/pallas_windows.py). XLA's
         # lowering of any batched-block-gather phrasing is a sequential
         # while-of-DUS (~0.85 us/candidate/call) or the arbitrary-gather
         # slow path; the kernel does the same loop entirely in VMEM.
         starts = jnp.stack([ou, ov], axis=-1).astype(jnp.int32)
         return pallas_windows.extract_windows_tpu(img_pad, starts, win)
-    # Portable path: batched dynamic-slice via lax.gather with 2-D
-    # slice_sizes (one gather of N contiguous blocks).
-    starts = jnp.stack([ov, ou], axis=-1)  # (N, 2)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-    return jax.lax.gather(
-        img_pad, starts, dnums, slice_sizes=(win, win),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )
+
+    def xla_path(ou, ov):
+        # Batched dynamic-slice via lax.gather with 2-D slice_sizes (one
+        # gather of N contiguous blocks).
+        starts = jnp.stack([ov, ou], axis=-1)  # (N, 2)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        return jax.lax.gather(
+            img_pad, starts, dnums, slice_sizes=(win, win),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    if not pallas_windows.vmem_ok(img_pad):
+        return xla_path(ou, ov)
+    # platform_dependent picks per LOWERING platform (a program traced
+    # while the default backend is the TPU may still be lowered for a CPU
+    # mesh, e.g. the multichip dryrun).
+    return jax.lax.platform_dependent(ou, ov, tpu=tpu_path, default=xla_path)
 
 
 def strided_patch_sample(

@@ -88,11 +88,7 @@ def extract_windows_tpu(
     )(starts, img_big)
 
 
-def supported(img_pad: jnp.ndarray) -> bool:
-    """True when the pallas path applies (TPU backend, image fits VMEM)."""
-    if img_pad.size * img_pad.dtype.itemsize > _MAX_VMEM_IMAGE_BYTES:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+def vmem_ok(img_pad: jnp.ndarray) -> bool:
+    """True when the image fits the kernel's VMEM budget (platform choice
+    is handled by lax.platform_dependent at the call site)."""
+    return img_pad.size * img_pad.dtype.itemsize <= _MAX_VMEM_IMAGE_BYTES
