@@ -67,22 +67,48 @@ def read_log(
     point_filter_num: int = 1,
 ) -> Iterator[Union[ImuSample, LidarScan, ImageFrame]]:
     """Stream records in file order, LiDAR filtered/decimated at decode
-    time (the reference's Preprocess gates, preprocess.cpp:249-352)."""
+    time (the reference's Preprocess gates, preprocess.cpp:249-352).
+
+    The log is memory-mapped, not loaded: hour-long recordings are
+    multi-GB (the reference replays those via `rosbag play`, which also
+    streams) and every decode below works on zero-copy views, so RSS
+    stays at the working set the decoders touch."""
+    import mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
-    lib = native.get_lib()
-    if lib is not None:
-        yield from _read_native(buf, lib, blind, max_range, point_filter_num)
-    else:
-        yield from _read_python(buf, blind, max_range, point_filter_num)
+        try:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file or unmappable fs
+            mm = f.read()
+        try:
+            buf = memoryview(mm)
+            lib = native.get_lib()
+            if lib is not None:
+                yield from _read_native(
+                    buf, lib, blind, max_range, point_filter_num
+                )
+            else:
+                yield from _read_python(buf, blind, max_range, point_filter_num)
+        finally:
+            try:
+                buf.release()
+                if isinstance(mm, mmap.mmap):
+                    mm.close()
+            except BufferError:
+                # A propagating exception's traceback can keep decoder
+                # views alive; the mapping is then released at GC instead.
+                pass
 
 
 def _read_native(buf, lib, blind, max_range, filter_num):
-    n = lib.flvo_index(buf, len(buf), None, 0)
+    # Zero-copy pointer into the mmapped (or bytes) buffer for the C ABI.
+    view = np.frombuffer(buf, np.uint8)
+    buf = view.ctypes.data_as(ctypes.POINTER(ctypes.c_char))
+    n = lib.flvo_index(buf, len(view), None, 0)
     if n < 0:
         raise ValueError("malformed FLVO log")
     idx = (native.RecordIndex * n)()
-    lib.flvo_index(buf, len(buf), idx, n)
+    lib.flvo_index(buf, len(view), idx, n)
     for r in idx:
         if r.type == 0:
             gyr = np.zeros(3)
