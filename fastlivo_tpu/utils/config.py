@@ -272,6 +272,10 @@ _NAMESPACE_MAP = {
     "std": "loop",
     "lightglue": "loop",
     "pcd_save": "runtime",
+    # Not a reference namespace (the reference hardcodes the MINI IMU
+    # quirks behind a compile flag, laser_mapping.cpp:870-888); here they
+    # are runtime fields.
+    "imu": "imu",
 }
 
 
