@@ -1,8 +1,8 @@
 """Per-phase timing of the photometric VIO update on the default platform.
 
 vio_update = select (phase A) -> photometric_update (phase B, coarse-to-
-fine while_loops) -> maintain (phase C). Isolates which phase produces the
-~700 ms TPU step seen in bench.py round 2.
+fine while_loops) -> maintain (phase C). Pair with
+examples/trace_summary.py for per-HLO-op attribution.
 """
 
 import sys
