@@ -186,7 +186,10 @@ def main():
             )
         jax.block_until_ready(post)
         t0 = time.perf_counter()
-        n_vio = 10
+        # Deep chain: the tunnel's flush sync (~25 ms) must amortize or it
+        # reads as per-step cost (10 steps: 5.0 ms/step; 50: 3.1; device
+        # time is ~2.5 — production chains continuously).
+        n_vio = 40
         for _ in range(n_vio):
             post, vmap, vinfo = vstep(
                 post, vmap, img, wc, wmask, cam, rot_ci, t_ci, vm_cfg, vio_cfg
