@@ -48,10 +48,14 @@ from fastlivo_tpu.ops.camera import Pinhole
 from fastlivo_tpu.state import DIM_STATE, NavState, boxminus, boxplus
 
 _R2D = 57.29577951308232
-# Padding for window-based patch sampling: covers the widest lattice
-# (stride 4, half 4, +1 gradient ring, +1 bilinear corner; see
-# ops/image.strided_patch_sample's pad requirement).
-_SAMPLE_PAD = 24
+# Padding for window-based patch sampling. Windows are sized for the
+# WIDEST lattice (stride 4) but each candidate's origin is anchored with
+# its OWN stride, so the worst right/bottom overhang past the center is
+# win - 1 - min_stride*(half+grad) = (8+2*1-1)*4 + 1 - 1*(4+1) = 32 texels
+# (see ops/image.strided_patch_sample's pad rule). Pad below that silently
+# clamps stride-1/2 candidates near the border and shifts their patches
+# (ADVICE r2: ~48 intensity-unit patch error at level 2 with pad=24).
+_SAMPLE_PAD = 32
 
 
 def _pyramid_padded(img: jnp.ndarray, levels: int):
@@ -617,12 +621,12 @@ def maintain(
     sb = blocks(score_hit, -1.0)  # (gh, g, gw, g)
     cell_max = sb.max(axis=(1, 3))  # (gh, gw)
     at_max = sb >= cell_max[:, None, :, None]  # non-hit lanes are -1 < max
-    big = float(h_img * w_img)
+    big_i = jnp.int32(h_img * w_img)
     pb = blocks(
-        jnp.arange(h_img * w_img, dtype=jnp.float32), big
-    )  # pixel ids as f32 (exact below 2^24)
-    win_px = (
-        jnp.where(at_max, pb, big).min(axis=(1, 3)).astype(jnp.int32)
+        jnp.arange(h_img * w_img, dtype=jnp.int32), h_img * w_img
+    )  # pixel ids stay int32: an f32 encoding rounds above 2^24 px
+    win_px = jnp.where(at_max, pb, big_i).min(
+        axis=(1, 3)
     )  # (gh, gw) first pixel achieving the cell max
     has2d = cell_max > 0.0
     winner2d = pt_at_px[jnp.clip(win_px, 0, h_img * w_img - 1)]

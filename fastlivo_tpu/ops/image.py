@@ -193,9 +193,15 @@ def strided_patch_sample(
         be in `stride_set` (each static stride is computed and the result
         selected per candidate).
       patch_size: texels per side.
-      pad: the padding img_pad was built with. Must be >=
-        max_stride * (patch_size // 2 + has_grad) + 2 so in-frame centers
-        never clamp.
+      pad: the padding img_pad was built with. Windows are sized for
+        max_stride but anchored with each candidate's own stride, so
+        in-frame centers never clamp only when
+          pad >= max(max_stride * (half + g),
+                     (patch_size + 2g - 1) * max_stride + 1
+                       - min_stride * (half + g))
+        with half = patch_size // 2 and g = 1 if grad_units else 0
+        (the second term dominates: a small-stride candidate's window
+        overhangs its center by win - 1 - stride*(half+g) texels).
       grad_units: None -> returns val (N, patch_size^2) only. Otherwise a
         (N,) array of pixel units per lattice step (e.g. stride * 2^level
         when sampling pyramid level `level` of a full-resolution frame);

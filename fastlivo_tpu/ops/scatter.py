@@ -25,8 +25,12 @@ _IMAX = jnp.int32(0x7FFFFFFF)
 def f32_sort_key(x: jnp.ndarray) -> jnp.ndarray:
     """Monotonic f32 -> int32: a < b  <=>  key(a) < key(b).
 
-    +0.0 and -0.0 map to the same key. NaNs map above +inf (payload
-    dependent) — callers mask NaNs before encoding.
+    +0.0 and -0.0 map to the same key. NaN keys are MEANINGLESS, not
+    large: a positive-payload NaN fails `x >= 0` (all NaN comparisons are
+    false), takes the negative-branch bit flip, and lands on a SMALL
+    positive key (e.g. 0x7FC00000 -> 0x003FFFFF) that would WIN a min
+    reduction. Callers must replace NaNs before encoding
+    (scatter_min_f32 does this itself).
     """
     x = x + 0.0  # canonicalize -0.0 -> +0.0
     b = jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -46,8 +50,10 @@ def scatter_min_f32(
 ) -> jnp.ndarray:
     """out[j] = min over {vals[i] : idx[i] == j}, `fill` where empty.
 
-    idx entries outside [0, size) are dropped.
+    idx entries outside [0, size) are dropped. NaN vals are treated as
+    `fill` (they never win) — see f32_sort_key's NaN caveat.
     """
+    vals = jnp.where(jnp.isnan(vals), jnp.float32(fill), vals)
     init = jnp.full((size,), f32_sort_key(jnp.float32(fill)), jnp.int32)
     keys = init.at[idx].min(f32_sort_key(vals), mode="drop")
     return f32_from_key(keys)

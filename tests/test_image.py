@@ -68,6 +68,35 @@ def test_strided_sample_zero_padding_outside(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
 
 
+def test_strided_sample_border_adjacent_no_clamp(rng):
+    """Stride-1/2 candidates near the right/bottom edge. Windows are
+    sized for max stride 4 but anchored with each candidate's own stride,
+    so a stride-1 window overhangs its center by
+    win - 1 - 1*(half+grad) = 32 texels; pad below that silently clamps
+    the window in extract_windows and shifts the sampled patch (ADVICE
+    r2: ~48 intensity-unit error at pad=24). vio's _SAMPLE_PAD must
+    satisfy the rule."""
+    from fastlivo_tpu.models.vio import _SAMPLE_PAD
+
+    assert _SAMPLE_PAD >= 32
+    img = _img(rng, 96, 128)
+    img_pad = I.pad_image(img, _SAMPLE_PAD)
+    centers = jnp.asarray(
+        [[123.4, 91.2], [122.1, 4.3], [4.6, 90.7], [123.9, 45.5]], jnp.float32
+    )
+    strides = jnp.asarray([1, 1, 2, 2], jnp.int32)
+    gu = strides.astype(jnp.float32)
+    val, du, dv = I.strided_patch_sample(
+        img_pad, centers, strides, 8, _SAMPLE_PAD, grad_units=gu
+    )
+    for s in (1, 2):
+        m = np.asarray(strides) == s
+        wv, wdu, wdv = I.patch_residual_grad(img, centers[m], 8, s)
+        np.testing.assert_allclose(np.asarray(val)[m], np.asarray(wv), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(du)[m], np.asarray(wdu), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(dv)[m], np.asarray(wdv), atol=3e-3)
+
+
 def test_extract_windows_exact_block(rng):
     img = _img(rng, 32, 40)
     img_pad = I.pad_image(img, 8)
