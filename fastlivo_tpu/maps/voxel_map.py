@@ -587,6 +587,7 @@ def reanchor(
     rots: jnp.ndarray,
     trans: jnp.ndarray,
     chunk: int = 65536,
+    axis_name: str | None = None,
 ) -> VoxelHashMap:
     """Rigidly re-anchor the live arena after a loop correction.
 
@@ -605,6 +606,14 @@ def reanchor(
         (E > max stored stamp; typically one segment per keyframe span).
       rots/trans: (K, 3, 3), (K, 3) rigid corrections per segment
         (corrected = R @ drifted + t).
+      axis_name: under shard_map with a hash-partitioned arena, the mesh
+        axis the map shards over. The correction moves points ACROSS voxel
+        boundaries, so a point's corrected voxel may belong to a different
+        owner — each transformed chunk is all-gathered over the axis and
+        re-inserted shard-locally (owned voxels only), so no point is
+        dropped on an ownership change. Epochs advance identically on
+        every shard (same n_chunks), keeping the shards' LRU clocks in
+        lockstep.
     """
     c, s = cfg.capacity, cfg.max_points
     chunk = min(chunk, c * s)
@@ -626,6 +635,10 @@ def reanchor(
     def body(i, fresh):
         p_chunk = jax.lax.dynamic_slice_in_dim(flat_pts, i * chunk, chunk)
         ok_chunk = jax.lax.dynamic_slice_in_dim(flat_ok, i * chunk, chunk)
+        if axis_name is not None:
+            p_chunk = jax.lax.all_gather(p_chunk, axis_name, tiled=True)
+            ok_chunk = jax.lax.all_gather(ok_chunk, axis_name, tiled=True)
+            return sharded_insert(fresh, p_chunk, ok_chunk, cfg, axis_name)
         return insert(fresh, p_chunk, ok_chunk, cfg)
 
     return jax.lax.fori_loop(0, n_chunks, body, fresh)

@@ -62,7 +62,12 @@ class StepConfig:
 
     @staticmethod
     def from_config(cfg: FastLivoConfig) -> "StepConfig":
+        par = getattr(cfg, "parallel", None)
+        map_sharded = bool(
+            par is not None and par.n_devices > 1 and par.map_sharded
+        )
         return StepConfig(
+            map_sharded=map_sharded,
             cam=Pinhole.from_config(cfg.camera) if cfg.vio.img_enable else None,
             vio_cfg=vio_mod.VioConfig(
                 grid_size=cfg.vio.grid_size,
@@ -445,14 +450,43 @@ class LivoPipeline:
     callbacks, and everything per-scan happens in one device program.
     """
 
-    def __init__(self, cfg: FastLivoConfig, dtype=jnp.float32):
+    def __init__(self, cfg: FastLivoConfig, dtype=jnp.float32, devices=None):
         self.cfg = cfg
         self.step_cfg = StepConfig.from_config(cfg)
         self.dtype = dtype
 
+        # Multi-device SPMD mode (cfg.parallel, see fastlivo_tpu.parallel):
+        # the production pipeline itself runs its fused per-scan program
+        # over a jax.sharding.Mesh — points sharded + innovations psummed
+        # (map replicated), or the arena hash-partitioned across devices
+        # (map_sharded; map.capacity becomes PER-DEVICE capacity).
+        self.mesh = None
+        par = getattr(cfg, "parallel", None)
+        n_dev = int(par.n_devices) if par is not None else 1
+        if n_dev > 1:
+            from fastlivo_tpu import parallel as par_mod
+
+            if par.n_hosts > 1:
+                if not self.step_cfg.map_sharded:
+                    raise ValueError(
+                        "parallel.n_hosts > 1 requires parallel.map_sharded"
+                    )
+                if n_dev % par.n_hosts:
+                    raise ValueError("n_devices must be divisible by n_hosts")
+                self.mesh = par_mod.make_mesh_2d(
+                    par.n_hosts, n_dev // par.n_hosts, devices=devices
+                )
+            else:
+                self.mesh = par_mod.make_mesh(n_dev, devices=devices)
+            if (cfg.lio.max_points * 2) % n_dev or cfg.lio.max_points % n_dev:
+                raise ValueError(
+                    f"lio.max_points ({cfg.lio.max_points}) must be divisible "
+                    f"by parallel.n_devices ({n_dev}) for point sharding"
+                )
+
         rot = np.asarray(cfg.extrinsics.extrinsic_r, np.float32).reshape(3, 3)
-        self.rot_il = jnp.asarray(rot, dtype)
-        self.t_il = jnp.asarray(cfg.extrinsics.extrinsic_t, dtype)
+        self.rot_il = self._replicate(jnp.asarray(rot, dtype))
+        self.t_il = self._replicate(jnp.asarray(cfg.extrinsics.extrinsic_t, dtype))
 
         # Camera-IMU from camera-LiDAR + LiDAR-IMU (reference composes the
         # same way in LidarSelector::init): p_c = Rcl p_l + Pcl.
@@ -465,9 +499,18 @@ class LivoPipeline:
             dtype,
         )
 
-        self.state = NavState.identity(dtype)
-        self.map = vm.make_map(self.step_cfg.map_cfg, dtype)
-        self.visual_map = vmap_mod.make_visual_map(self.step_cfg.vm_cfg, dtype)
+        self.state = self._replicate(NavState.identity(dtype))
+        if self.mesh is not None and self.step_cfg.map_sharded:
+            from fastlivo_tpu import parallel as par_mod
+
+            self.map = par_mod.make_sharded_map(
+                self.step_cfg.map_cfg, self.mesh, dtype
+            )
+        else:
+            self.map = self._replicate(vm.make_map(self.step_cfg.map_cfg, dtype))
+        self.visual_map = self._replicate(
+            vmap_mod.make_visual_map(self.step_cfg.vm_cfg, dtype)
+        )
         self.initializer = imu_mod.StaticInitializer(
             init_count=cfg.imu.init_count,
             zero_velocity_thresh=cfg.imu.zero_velocity_thresh,
@@ -509,14 +552,46 @@ class LivoPipeline:
         self.health = {"rejected": 0, "low_constraint": 0, "resets": 0}
         self._min_effective = self.step_cfg.lio_cfg.min_effective
         # Last completed scan's world cloud (the reference's pcl_wait_pub).
-        self.world_cloud = jnp.zeros((self.step_cfg.ds_capacity, 3), dtype)
-        self.world_mask = jnp.zeros((self.step_cfg.ds_capacity,), bool)
-
-        self._step = jax.jit(
-            lio_scan_step,
-            static_argnames=("cfg", "axis_name"),
-            donate_argnames=("lidar_map",),
+        self.world_cloud = self._replicate(
+            jnp.zeros((self.step_cfg.ds_capacity, 3), dtype)
         )
+        self.world_mask = self._replicate(
+            jnp.zeros((self.step_cfg.ds_capacity,), bool)
+        )
+
+        if self.mesh is None:
+            self._step = jax.jit(
+                lio_scan_step,
+                static_argnames=("cfg", "axis_name"),
+                donate_argnames=("lidar_map",),
+            )
+        else:
+            # SPMD step over the mesh. with_extras is always on: the GNSS
+            # injection arrives as replicated (18,18)/(18,) blocks (zeros
+            # when absent — additive identity), keeping one compiled
+            # program for both cases.
+            from fastlivo_tpu import parallel as par_mod
+
+            raw_step = par_mod.make_sharded_lio_step(
+                self.mesh, self.step_cfg, with_extras=True
+            )
+            raw_boot = par_mod.make_sharded_bootstrap(self.mesh, self.step_cfg)
+            _zh = self._replicate(jnp.zeros((18, 18), dtype))
+            _zy = self._replicate(jnp.zeros((18,), dtype))
+
+            def _step(state, lidar_map, scan, rot_il, t_il, _cfg,
+                      extra_hth=None, extra_hty=None):
+                scan = par_mod.shard_scan(scan, self.mesh)
+                ehth = _zh if extra_hth is None else jnp.asarray(extra_hth, dtype)
+                ehty = _zy if extra_hty is None else jnp.asarray(extra_hty, dtype)
+                return raw_step(state, lidar_map, scan, rot_il, t_il, ehth, ehty)
+
+            def _bootstrap(lidar_map, scan, state, rot_il, t_il, _cfg):
+                scan = par_mod.shard_scan(scan, self.mesh)
+                return raw_boot(lidar_map, scan, state, rot_il, t_il)
+
+            self._step = _step
+            self._sharded_bootstrap = _bootstrap
         # Scan batching (ROADMAP item 3): dispatch scan steps back-to-back
         # WITHOUT fetching results, and drain the (tiny) summary fetches
         # once per K scans. On a remote TPU a synchronizing fetch costs
@@ -538,10 +613,46 @@ class LivoPipeline:
             static_argnames=("cfg",),
             donate_argnames=("visual_map",),
         )
-        self._bootstrap = jax.jit(
-            bootstrap_map, static_argnames=("cfg",), donate_argnames=("lidar_map",)
-        )
+        if self.mesh is None:
+            self._bootstrap = jax.jit(
+                bootstrap_map,
+                static_argnames=("cfg",),
+                donate_argnames=("lidar_map",),
+            )
+        else:
+            self._bootstrap = self._sharded_bootstrap
         self._propagate = jax.jit(imu_mod.propagate)
+
+    def _replicate(self, tree):
+        """Place a pytree replicated over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    @property
+    def n_map_shards(self) -> int:
+        """Shard count of the map arena (1 = replicated/single-device)."""
+        if self.mesh is None or not self.step_cfg.map_sharded:
+            return 1
+        return self.mesh.shape[tuple(self.mesh.axis_names)[-1]]
+
+    def place_map(self, m: vm.VoxelHashMap) -> vm.VoxelHashMap:
+        """Place a host-restored arena with the pipeline's map sharding
+        (checkpoint resume: the npz holds the GLOBAL arrays; re-shard them
+        onto the mesh, or replicate on a points-sharded mesh)."""
+        if self.mesh is None:
+            return m
+        from jax.sharding import NamedSharding
+
+        from fastlivo_tpu.parallel import sharded as _sh
+
+        specs = _sh._map_specs(m, self.step_cfg.map_sharded, self.mesh)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), m, specs
+        )
 
     def _advance(self, scan: ScanInput):
         """Propagate the state through a group's IMU window WITHOUT a
@@ -561,7 +672,9 @@ class LivoPipeline:
                 np.asarray(scan.imu.acc)[np.asarray(scan.imu.mask)],
             )
             if ok:
-                self.state = self.initializer.initial_state(self.dtype)
+                self.state = self._replicate(
+                    self.initializer.initial_state(self.dtype)
+                )
             return None
 
         if self.first_scan:
@@ -732,15 +845,29 @@ class LivoPipeline:
         seg = np.where(
             np.abs(ep - kf_stamps[lo]) < np.abs(ep - kf_stamps[hi]), lo, hi
         )
-        self.map = jax.jit(
-            vm.reanchor, static_argnames=("cfg", "chunk"), donate_argnums=(0,)
-        )(
-            self.map,
-            self.step_cfg.map_cfg,
-            jnp.asarray(seg, jnp.int32),
-            jnp.asarray(r_seg, self.dtype),
-            jnp.asarray(t_seg, self.dtype),
-        )
+        if self.mesh is not None and self.step_cfg.map_sharded:
+            # The correction moves points across voxel (and shard-owner)
+            # boundaries: the sharded reanchor all-gathers transformed
+            # chunks and re-inserts shard-locally so no point is dropped
+            # on an ownership change.
+            from fastlivo_tpu import parallel as par_mod
+
+            self.map = par_mod.make_sharded_reanchor(self.mesh, self.step_cfg)(
+                self.map,
+                self._replicate(jnp.asarray(seg, jnp.int32)),
+                self._replicate(jnp.asarray(r_seg, self.dtype)),
+                self._replicate(jnp.asarray(t_seg, self.dtype)),
+            )
+        else:
+            self.map = jax.jit(
+                vm.reanchor, static_argnames=("cfg", "chunk"), donate_argnums=(0,)
+            )(
+                self.map,
+                self.step_cfg.map_cfg,
+                jnp.asarray(seg, jnp.int32),
+                jnp.asarray(r_seg, self.dtype),
+                jnp.asarray(t_seg, self.dtype),
+            )
         return True
 
     def finish(self, out_dir: Optional[str] = None):
@@ -791,12 +918,14 @@ class LivoPipeline:
                 np.asarray(scan.imu.acc)[np.asarray(scan.imu.mask)],
             )
             if ok:
-                self.state = self.initializer.initial_state(self.dtype)
+                self.state = self._replicate(
+                    self.initializer.initial_state(self.dtype)
+                )
             return None
         if self.step_cfg.cam is None or self.first_scan:
             self._advance(scan)
             return None
-        img = jnp.asarray(img, self.dtype)
+        img = self._replicate(jnp.asarray(img, self.dtype))
         self._last_vio_img = np.asarray(img)
         self.state, self.visual_map, info = self._vio_step(
             self.state,

@@ -10,5 +10,6 @@ from fastlivo_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_bootstrap,
     make_sharded_lio_step,
     make_sharded_map,
+    make_sharded_reanchor,
     shard_scan,
 )

@@ -124,7 +124,9 @@ def make_sharded_map(
     return jax.tree.map(expand, local)
 
 
-def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
+def make_sharded_lio_step(
+    mesh: Mesh, cfg: pl_mod.StepConfig, with_extras: bool = False
+):
     """Compile the fused per-scan program as an SPMD program over `mesh`.
 
     Returns a jitted callable with the same signature as
@@ -135,6 +137,12 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
     (global capacity = cfg.map_cfg.capacity * n_devices) and the returned
     world cloud is replicated; otherwise the map is replicated and the
     world cloud comes back points-sharded.
+
+    with_extras adds two trailing REPLICATED arguments (extra_hth (18,18),
+    extra_hty (18,)) — the GNSS innovation injection (models/gnss.py). The
+    per-point innovations are psummed BEFORE the extras are added
+    (models/lio.py:163-167), so the replicated extra contributes exactly
+    once, same as single-device.
     """
     from fastlivo_tpu.models.imu import ImuWindow
 
@@ -159,10 +167,21 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
 
     fn = partial(pl_mod.lio_scan_step, cfg=cfg, axis_name=axes)
 
+    if with_extras:
+        body = lambda state, m, scan, rot_il, t_il, ehth, ehty: fn(
+            state, m, scan, rot_il, t_il, extra_hth=ehth, extra_hty=ehty
+        )
+        in_specs = (state_specs, map_specs, scan_specs, P(), P(), P(), P())
+    else:
+        body = lambda state, m, scan, rot_il, t_il: fn(
+            state, m, scan, rot_il, t_il
+        )
+        in_specs = (state_specs, map_specs, scan_specs, P(), P())
+
     sharded = jax.shard_map(
-        lambda state, m, scan, rot_il, t_il: fn(state, m, scan, rot_il, t_il),
+        body,
         mesh=mesh,
-        in_specs=(state_specs, map_specs, scan_specs, P(), P()),
+        in_specs=in_specs,
         out_specs=(
             state_specs,
             map_specs,
@@ -173,6 +192,34 @@ def make_sharded_lio_step(mesh: Mesh, cfg: pl_mod.StepConfig):
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(1,))
+
+
+def make_sharded_reanchor(mesh: Mesh, cfg: pl_mod.StepConfig, chunk: int = 65536):
+    """SPMD loop-corrected arena re-anchoring over a sharded map.
+
+    The correction moves points across voxels (and therefore across shard
+    owners); vm.reanchor with axis_name all-gathers each transformed chunk
+    and re-inserts shard-locally so ownership changes never drop points.
+    seg_of_epoch / rots / trans are replicated.
+    """
+    if not cfg.map_sharded:
+        raise ValueError("make_sharded_reanchor requires cfg.map_sharded=True")
+    ax = _map_axis(mesh)
+    map_specs = _map_specs(pl_mod.vm.make_map(cfg.map_cfg), True, mesh)
+
+    fn = partial(
+        pl_mod.vm.reanchor, cfg=cfg.map_cfg, chunk=chunk, axis_name=ax
+    )
+    sharded = jax.shard_map(
+        lambda m, seg, rots, trans: fn(
+            m, seg_of_epoch=seg, rots=rots, trans=trans
+        ),
+        mesh=mesh,
+        in_specs=(map_specs, P(), P(), P()),
+        out_specs=map_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_sharded_bootstrap(mesh: Mesh, cfg: pl_mod.StepConfig):

@@ -233,6 +233,19 @@ def main(argv=None):
             pass
         overrides[k] = v
     cfg = load_config(args.config, overrides)
+    if cfg.parallel.n_devices > 1 and args.platform == "cpu":
+        # Virtual-device mesh on CPU (tests / dry runs): the host platform
+        # must be told its device count BEFORE the backend initializes.
+        import os
+
+        if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""
+        ):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count="
+                + str(cfg.parallel.n_devices)
+            )
     run_log(
         args.log,
         cfg,

@@ -59,6 +59,11 @@ def save_pipeline(path: str, pipe, meta: Dict[str, Any] | None = None):
         "init_done": pipe.initializer.done,
         "mean_acc": pipe.initializer.mean_acc.tolist(),
         "mean_gyr": pipe.initializer.mean_gyr.tolist(),
+        # Sharded-arena layout: the npz stores the GLOBAL arrays (np.asarray
+        # gathers across the mesh); each shard is an independent hash table
+        # of capacity_global / n_map_shards slots, so the blob only restores
+        # onto a mesh with the SAME shard count.
+        "n_map_shards": getattr(pipe, "n_map_shards", 1),
         "meta": meta or {},
     }
     blobs["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
@@ -77,11 +82,19 @@ def load_pipeline(path: str, pipe):
             "(array semantics changed between versions; re-run from the log "
             "instead of resuming)"
         )
-    pipe.state = _unflatten("state", data, pipe.state)
-    pipe.map = _unflatten("map", data, pipe.map)
-    pipe.visual_map = _unflatten("vmap", data, pipe.visual_map)
-    pipe.world_cloud = jnp.asarray(data["world_cloud"])
-    pipe.world_mask = jnp.asarray(data["world_mask"])
+    saved_shards = int(header.get("n_map_shards", 1))
+    if saved_shards != getattr(pipe, "n_map_shards", 1):
+        raise ValueError(
+            f"checkpoint was written with {saved_shards} map shard(s) but the "
+            f"pipeline runs with {pipe.n_map_shards}: each shard is an "
+            "independent hash table, so the arena cannot be re-partitioned "
+            "— resume with the same parallel config (or re-run from the log)"
+        )
+    pipe.state = pipe._replicate(_unflatten("state", data, pipe.state))
+    pipe.map = pipe.place_map(_unflatten("map", data, pipe.map))
+    pipe.visual_map = pipe._replicate(_unflatten("vmap", data, pipe.visual_map))
+    pipe.world_cloud = pipe._replicate(jnp.asarray(data["world_cloud"]))
+    pipe.world_mask = pipe._replicate(jnp.asarray(data["world_mask"]))
     pipe.trajectory = [
         (float(t), data["traj_pos"][i], data["traj_quat"][i])
         for i, t in enumerate(data["traj_t"])

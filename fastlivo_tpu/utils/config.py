@@ -229,6 +229,28 @@ class RuntimeParams:
 
 
 @dataclass
+class ParallelParams:
+    """Multi-device SPMD execution (no reference counterpart: the reference
+    is a single C++ process whose parallelism is OpenMP over scan points,
+    src/laser_mapping.cpp:499-502; here the production pipeline itself runs
+    over a jax.sharding.Mesh — see `fastlivo_tpu.parallel`)."""
+
+    # Mesh size. 1 = single device (the default single-chip path).
+    n_devices: int = 1
+    # False -> map replicated, scan points sharded, innovations psummed
+    #          (scales residual compute).
+    # True  -> map arena hash-partitioned across devices (map.capacity is
+    #          the PER-DEVICE capacity; global capacity grows with the
+    #          mesh). Scan replicated after downsample; lookups merge over
+    #          the mesh, inserts are shard-local.
+    map_sharded: bool = False
+    # > 1 builds a 2-D (hosts x chips) mesh: the map shards over the fast
+    # inner axis (ICI), queries/innovations over the outer axis (DCN).
+    # Requires map_sharded=True. n_devices must be divisible by n_hosts.
+    n_hosts: int = 1
+
+
+@dataclass
 class FastLivoConfig:
     preprocess: LidarParams = field(default_factory=LidarParams)
     imu: ImuParams = field(default_factory=ImuParams)
@@ -241,6 +263,7 @@ class FastLivoConfig:
     keyframe: KeyframeParams = field(default_factory=KeyframeParams)
     extrinsics: ExtrinsicParams = field(default_factory=ExtrinsicParams)
     runtime: RuntimeParams = field(default_factory=RuntimeParams)
+    parallel: ParallelParams = field(default_factory=ParallelParams)
 
 
 # Mapping from reference YAML keys (flat / namespaced) to config fields.

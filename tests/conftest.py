@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the SPMD pipeline programs take tens of
+# seconds to compile on an 8-virtual-device CPU mesh; cache them across
+# test processes/reruns (keyed on HLO + flags, so code changes re-compile).
+jax.config.update("jax_compilation_cache_dir", "/tmp/fastlivo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
