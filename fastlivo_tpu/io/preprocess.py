@@ -82,25 +82,93 @@ def decode_avia(
     return _finish(stamp, pts, t_ms, fields.get("reflectivity"), keep, params)
 
 
+def _velodyne_ring_times(
+    x: np.ndarray, y: np.ndarray, ring: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-RING azimuth-sweep time reconstruction, vectorized.
+
+    Matches the reference's given_offset_time=false branch EXACTLY
+    (preprocess.cpp:471-489, :578-616): each ring tracks its own first-point
+    yaw (yaw_fp) and running last offset; per point
+        t = (yaw_fp - yaw) / omega_l        (omega_l = 3.61 deg/ms @ 10 Hz)
+        t += 360/omega_l                    if yaw > yaw_fp
+        t += 360/omega_l                    while t < last emitted t (unwrap)
+    and the FIRST point of every ring is skipped (the reference `continue`s
+    without pushing it, preprocess.cpp:597-605). A multi-ring VLP stream
+    interleaves rings per firing, so a single global sweep (round 2's
+    implementation) mis-times every point after the first wrap — the wrap
+    happens at a different array position on every ring.
+
+    Returns (t_ms, keep) in the ORIGINAL point order.
+    """
+    n = len(ring)
+    omega_l = 0.361 * 10.0  # deg/ms (reference preprocess.cpp:472)
+    period_ms = 360.0 / omega_l
+    yaw = np.degrees(np.arctan2(y, x))
+
+    order = np.argsort(ring, kind="stable")  # ring-major, array order kept
+    yaw_s = yaw[order]
+    ring_s = ring[order]
+    is_start = np.empty(n, bool)
+    is_start[0] = True
+    is_start[1:] = ring_s[1:] != ring_s[:-1]
+    seg_id = np.cumsum(is_start) - 1
+    start_idx = np.flatnonzero(is_start)
+    yaw_fp = yaw_s[start_idx][seg_id]
+
+    base = (yaw_fp - yaw_s) / omega_l
+    base = np.where(yaw_s > yaw_fp, base + period_ms, base)
+    # Sequential unwrap "t < time_last -> += period": base lives in
+    # [0, period), so the running offset increments exactly where base
+    # decreases vs the previous point of the SAME ring.
+    prev = np.empty(n, base.dtype)
+    prev[0] = 0.0
+    prev[1:] = base[:-1]
+    wrap = (~is_start) & (base < prev)
+    revs = np.cumsum(wrap)
+    revs = revs - revs[start_idx][seg_id]  # restart the count per ring
+    t_s = base + revs * period_ms
+
+    t_ms = np.empty(n, np.float64)
+    t_ms[order] = t_s
+    keep = np.ones(n, bool)
+    keep[order[start_idx]] = False  # reference drops each ring's first point
+    return t_ms, keep
+
+
 def decode_velodyne(
     stamp: float, fields: Dict[str, np.ndarray], params: LidarParams
 ) -> LidarScan:
     """Velodyne-16 (reference: preprocess.cpp:459-640).
 
-    fields: x, y, z, intensity, ring, time (s relative to scan start).
-    If `time` is absent, per-point times are reconstructed from azimuth at
-    a 10 Hz sweep (the reference's given_offset_time=false branch).
+    fields: x, y, z, intensity, ring, time. Following the reference, the
+    `time` field holds MICROSECONDS relative to the scan start (curvature
+    = time * 1e-3 with curvature in ms, preprocess.cpp:588); standard
+    velodyne_pointcloud bags carry SECONDS instead — the unit is
+    auto-detected by magnitude (a 10 Hz sweep keeps second-offsets under
+    0.5). If `time` is absent or all <= 0 (the reference's
+    given_offset_time gate, preprocess.cpp:478-498), per-point times are
+    reconstructed PER RING from the azimuth sweep with yaw unwrapping.
     """
     pts = np.stack([fields["x"], fields["y"], fields["z"]], axis=1)
-    if "time" in fields:
-        t_ms = fields["time"].astype(np.float64) * 1e3
-    else:
-        az = np.degrees(np.arctan2(fields["y"], fields["x"]))
-        az0 = az[0]
-        rel = (az0 - az) % 360.0  # clockwise sweep
-        t_ms = rel / 360.0 * 100.0  # 10 Hz -> 100 ms per rev
     keep = np.ones(len(pts), bool)
     ring = fields.get("ring")
+    t_field = fields.get("time")
+    if t_field is not None and len(t_field) and float(t_field[-1]) > 0:
+        t = t_field.astype(np.float64)
+        # reference units: us -> ms; standard driver units: s -> ms.
+        t_ms = t * 1e-3 if np.abs(t).max() > 0.5 else t * 1e3
+    else:
+        if ring is None:
+            # No time, no ring: single global sweep (best effort).
+            az = np.degrees(np.arctan2(fields["y"], fields["x"]))
+            rel = (az[0] - az) % 360.0  # clockwise sweep
+            t_ms = rel / 360.0 * 100.0  # 10 Hz -> 100 ms per rev
+        else:
+            t_ms, keep_t = _velodyne_ring_times(
+                fields["x"], fields["y"], ring.astype(np.int64)
+            )
+            keep &= keep_t
     if ring is not None:
         keep &= ring < max(params.scan_line, 16)
     return _finish(stamp, pts, t_ms, fields.get("intensity"), keep, params)

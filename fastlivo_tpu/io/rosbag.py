@@ -263,7 +263,12 @@ def parse_livox_custommsg(raw: bytes):
     """
     c = _Cursor(raw)
     t = _header(c)
-    c.u64()  # timebase (ns); header stamp is the scan time like the reference uses
+    timebase = c.u64()  # ns; offset_time is relative to THIS, and some
+    # livox drivers leave header.stamp unset — fall back to the timebase
+    # then (the reference always trusts header.stamp, laser_mapping.cpp
+    # livox_pcl_cbk; with its datasets the two coincide).
+    if t == 0.0 and timebase:
+        t = timebase * 1e-9
     n = c.u32()
     c.skip(4)  # lidar_id + rsvd[3]
     c.u32()  # points array length (== n)
