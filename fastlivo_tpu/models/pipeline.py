@@ -384,10 +384,14 @@ def vio_scan_step(
     rot_ci: jnp.ndarray,
     t_ci: jnp.ndarray,
     cfg: StepConfig,
-) -> Tuple[NavState, vmap_mod.VisualMap, vio_mod.VioInfo]:
+) -> Tuple[NavState, vmap_mod.VisualMap, vio_mod.VioInfo, jnp.ndarray]:
     """One image-bounded measurement update (reference: Run VIO branch,
     laser_mapping.cpp:86-126): propagate to the image timestamp, then the
-    photometric iterated EKF against the last completed scan's world cloud."""
+    photometric iterated EKF against the last completed scan's world cloud.
+
+    Returns (posterior, visual map, VioInfo, packed summary) — the summary
+    is [pos(3), quat wxyz(4), n_selected] so a batched host loop can defer
+    its per-frame bookkeeping fetch (see LivoPipeline.flush_scans)."""
     state_prop, _ = imu_mod.propagate(
         state,
         scan.imu,
@@ -410,7 +414,15 @@ def vio_scan_step(
         cfg.vm_cfg,
         cfg.vio_cfg,
     )
-    return posterior, visual_map, info
+    q = so3.rot_to_quat(posterior.rot)
+    summary = jnp.concatenate(
+        [
+            posterior.pos,
+            q,
+            info.n_selected.astype(posterior.pos.dtype)[None],
+        ]
+    )
+    return posterior, visual_map, info, summary
 
 
 def bootstrap_map(
@@ -598,16 +610,22 @@ class LivoPipeline:
         # ~300 ms while chained dispatches cost ~0.15 ms — and chaining the
         # already-compiled per-scan program keeps the donated arena
         # in-place (a lax.scan over the map carry double-buffers it, which
-        # measured ~0.2 s/scan in XLA copies). Only safe when nothing
-        # host-side must observe the state between scans (no GNSS
-        # linearization, no VIO interleaving).
+        # measured ~0.2 s/scan in XLA copies). VIO interleaving batches too
+        # (vio_scan_step keeps everything device-side and returns a packed
+        # summary); only GNSS blocks batching — its observation must be
+        # linearized host-side at each scan's propagated prior.
+        # Semantics note vs unbatched: when a scan is REJECTED mid-batch,
+        # the chained VIO dispatches that follow see that scan's masked-off
+        # world cloud (an empty photometric update) instead of the host
+        # rollback to the last accepted cloud; both recover at the next
+        # accepted scan.
         self.scan_batch = int(getattr(cfg.lio, "scan_batch", 1))
-        self._batch_eligible = (
-            self.scan_batch > 1
-            and not cfg.vio.img_enable
-            and not cfg.gnss.gnss_en
-        )
-        self._pending_scans: list = []  # [(t_abs, summary, cloud, mask)]
+        self._batch_eligible = self.scan_batch > 1 and not cfg.gnss.gnss_en
+        # Mixed pending queue, in dispatch order:
+        #   ("scan", t_abs, summary, cloud, mask, last_img)
+        #   ("img",  t_abs, summary)
+        self._pending_scans: list = []
+        self._pending_n_scans = 0
         self._vio_step = jax.jit(
             vio_scan_step,
             static_argnames=("cfg",),
@@ -699,7 +717,7 @@ class LivoPipeline:
 
         if self._batch_eligible:
             # Dispatch now (chained, async), defer the host fetch.
-            if not self._pending_scans:
+            if self._pending_n_scans == 0:
                 # Rollback target if every scan in this batch is rejected.
                 self._batch_prev_cloud = (self.world_cloud, self.world_mask)
             (
@@ -714,9 +732,11 @@ class LivoPipeline:
             )
             self._epoch_stamps.append(t_abs)
             self._pending_scans.append(
-                (t_abs, summary, self.world_cloud, self.world_mask)
+                ("scan", t_abs, summary, self.world_cloud, self.world_mask,
+                 self._last_vio_img)
             )
-            if len(self._pending_scans) >= self.scan_batch:
+            self._pending_n_scans += 1
+            if self._pending_n_scans >= self.scan_batch:
                 self.flush_scans()
             return None
 
@@ -776,20 +796,26 @@ class LivoPipeline:
         return info
 
     def flush_scans(self):
-        """Drain the pending (already-dispatched) scan steps: one blocking
-        sync, then the per-scan host bookkeeping from the tiny summary
-        fetches (cheap once results are ready). The device work itself was
-        chained asynchronously by process_scan."""
+        """Drain the pending (already-dispatched) measurement steps: one
+        blocking sync, then the per-measurement host bookkeeping from the
+        tiny summary fetches (cheap once results are ready). The device work
+        itself was chained asynchronously by process_scan/process_image."""
         if not self._pending_scans:
             return
         pending, self._pending_scans = self._pending_scans, []
-        jax.block_until_ready(pending[-1][1])  # one sync for the chain
+        self._pending_n_scans = 0
+        jax.block_until_ready(pending[-1][2])  # one sync for the chain
         last_ok = None
         from scipy.spatial.transform import Rotation as _R
 
-        for k, (t_abs, summary, cloud, mask) in enumerate(pending):
+        for k, entry in enumerate(pending):
+            kind, t_abs, summary = entry[0], entry[1], entry[2]
             s = np.asarray(summary)
             pos, quat = s[0:3], s[3:7]
+            if kind == "img":
+                self.trajectory.append((t_abs, pos, quat))
+                continue
+            _, _, _, cloud, mask, img = entry
             n_eff, accepted = int(s[7]), bool(s[9] > 0.5)
             if n_eff < self._min_effective:
                 self.health["low_constraint"] += 1
@@ -805,12 +831,12 @@ class LivoPipeline:
                         [quat[1], quat[2], quat[3], quat[0]]
                     ).as_matrix()
                     self.loop_backend.on_scan(
-                        rot, pos, wc, stamp=t_abs, img=self._last_vio_img
+                        rot, pos, wc, stamp=t_abs, img=img
                     )
             self.trajectory.append((t_abs, pos, quat))
         if last_ok is not None:
-            _, _, self.world_cloud, self.world_mask = pending[last_ok]
-        else:
+            self.world_cloud, self.world_mask = pending[last_ok][3:5]
+        elif any(e[0] == "scan" for e in pending):
             self.world_cloud, self.world_mask = self._batch_prev_cloud
 
     def reanchor_map(self) -> bool:
@@ -867,6 +893,16 @@ class LivoPipeline:
                 jnp.asarray(seg, jnp.int32),
                 jnp.asarray(r_seg, self.dtype),
                 jnp.asarray(t_seg, self.dtype),
+            )
+        # The rebuild re-inserts in chunks, advancing the arena epoch by
+        # n_chunks; keep the epoch -> stamp mapping aligned by attributing
+        # the re-anchored content to the newest keyframe (it is consistent
+        # with the corrected trajectory as of this correction), so a SECOND
+        # loop correction attributes segments correctly.
+        new_epoch = int(np.asarray(self.map.epoch))
+        if new_epoch > len(self._epoch_stamps):
+            self._epoch_stamps.extend(
+                [float(kf_stamps[-1])] * (new_epoch - len(self._epoch_stamps))
             )
         return True
 
@@ -925,9 +961,9 @@ class LivoPipeline:
         if self.step_cfg.cam is None or self.first_scan:
             self._advance(scan)
             return None
-        img = self._replicate(jnp.asarray(img, self.dtype))
-        self._last_vio_img = np.asarray(img)
-        self.state, self.visual_map, info = self._vio_step(
+        self._last_vio_img = np.asarray(img, dtype=np.float32)
+        img = self._replicate(jnp.asarray(self._last_vio_img, self.dtype))
+        self.state, self.visual_map, info, summary = self._vio_step(
             self.state,
             self.visual_map,
             scan,
@@ -938,6 +974,14 @@ class LivoPipeline:
             self.t_ci,
             self.step_cfg,
         )
+        if self._batch_eligible:
+            # Chained dispatch; defer the trajectory fetch to flush_scans.
+            self._pending_scans.append(("img", t_abs, summary))
+            if len(self._pending_scans) >= 8 * self.scan_batch + 8:
+                # Backstop for image-heavy streams (flush cadence is
+                # normally driven by the scan count).
+                self.flush_scans()
+            return None
         self._record(t_abs)
         return info
 

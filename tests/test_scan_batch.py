@@ -89,3 +89,42 @@ def test_pipeline_scan_batch_matches_unbatched():
     t4 = drive(4)
     assert len(t1) == len(t4) and len(t1) >= 20
     np.testing.assert_allclose(t4, t1, atol=1e-6)
+
+
+def test_pipeline_livo_batch_matches_unbatched():
+    """LIVO (interleaved scan-end + image-bounded updates) with
+    lio.scan_batch=4 must reproduce the unbatched trajectory: VIO
+    dispatches chain into the pending queue (vio_scan_step's packed
+    summary) and drain at flush — no host fetch between measurements."""
+    from fastlivo_tpu.io import synthetic
+    from tests.test_livo_e2e import CAM, drive_livo, make_cfg
+
+    seq = synthetic.generate(
+        duration=2.0,
+        imu_rate=100.0,
+        scan_rate=10.0,
+        pts_per_scan=4000,
+        seed=5,
+        n_boxes=0,
+        camera=CAM,
+        cam_rate=10.0,
+        cam_offset=0.055,
+    )
+
+    def drive(batch):
+        cfg = make_cfg()
+        cfg.lio.max_points = 4096
+        cfg.map.capacity = 1 << 14
+        cfg.lio.scan_batch = batch
+        pipe, _, _, _ = drive_livo(seq, cfg)
+        pipe.flush_scans()
+        ts = np.asarray([t for t, _, _ in pipe.trajectory])
+        ps = np.asarray([p for _, p, _ in pipe.trajectory])
+        return ts, ps
+
+    ts1, p1 = drive(1)
+    ts4, p4 = drive(4)
+    # Both scan-end AND image-bounded entries, in the same order.
+    assert len(ts1) == len(ts4) and len(ts1) >= 30
+    np.testing.assert_allclose(ts4, ts1)
+    np.testing.assert_allclose(p4, p1, atol=1e-6)
