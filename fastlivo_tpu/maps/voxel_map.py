@@ -74,6 +74,7 @@ class VoxelHashMap(NamedTuple):
     counts: jnp.ndarray  # (C,) int32 — valid points in each voxel slab
     points: jnp.ndarray  # (C, S, 3) f32
     stamps: jnp.ndarray  # (C,) int32 — LRU epoch of last touch
+    slot_stamps: jnp.ndarray  # (C, S) int32 — insert epoch PER POINT slot
     epoch: jnp.ndarray  # () int32
     surf_n: jnp.ndarray  # (C,) f32 — running point count (uncapped)
     surf_s1: jnp.ndarray  # (C, 3) f32 — running sum of points
@@ -88,6 +89,7 @@ def make_map(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelHashMap:
         counts=jnp.zeros((c,), dtype=jnp.int32),
         points=jnp.zeros((c, s, 3), dtype=dtype),
         stamps=jnp.zeros((c,), dtype=jnp.int32),
+        slot_stamps=jnp.zeros((c, s), dtype=jnp.int32),
         epoch=jnp.zeros((), dtype=jnp.int32),
         surf_n=jnp.zeros((c,), dtype=dtype),
         surf_s1=jnp.zeros((c, 3), dtype=dtype),
@@ -247,9 +249,14 @@ def insert(
     ok = ok & (dest < cfg.max_points)
     slot = jnp.where(ok, slot, cfg.capacity)
 
-    points = m.points.at[slot, jnp.clip(dest, 0, cfg.max_points - 1)].set(
-        pts, mode="drop"
-    )
+    dest_c = jnp.clip(dest, 0, cfg.max_points - 1)
+    points = m.points.at[slot, dest_c].set(pts, mode="drop")
+    # Per-point insert epoch: exact segment attribution for reanchor (a
+    # revisited voxel's slab holds points registered under DIFFERENT poses;
+    # a per-voxel stamp would move the whole slab by the newest segment's
+    # correction — measured up to the full drift magnitude of error on the
+    # early points).
+    slot_stamps = m.slot_stamps.at[slot, dest_c].set(m.epoch, mode="drop")
     added = jnp.zeros((cfg.capacity,), jnp.int32).at[slot].add(
         ok.astype(jnp.int32), mode="drop"
     )
@@ -282,7 +289,8 @@ def insert(
         pts_l[:, :, None] * pts_l[:, None, :] * w[:, None, None], mode="drop"
     )
     return m._replace(
-        points=points, counts=counts, stamps=stamps, epoch=m.epoch + 1,
+        points=points, counts=counts, stamps=stamps, slot_stamps=slot_stamps,
+        epoch=m.epoch + 1,
         surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
     )
 
@@ -596,10 +604,17 @@ def reanchor(
     This goes further: every stored point is moved by its insertion
     segment's correction p' = R_seg p + t_seg and the arena is rebuilt
     (points change voxels under the correction, so a full re-hash insert is
-    required). Each voxel's insertion segment is approximated by its LAST
-    LRU touch (stamps) — voxels are overwhelmingly built within one pass.
-    Surfel moments are rebuilt from the re-inserted slab points (moment
-    history beyond the slab cap is reset; it re-matures in a few scans).
+    required). Attribution is EXACT PER POINT: the arena records each point
+    slot's insert epoch (slot_stamps), so a voxel revisited across segments
+    (the common loop-closure case — same geometry seen before and after
+    drift accumulated) has each of its points moved by the segment it was
+    actually registered under. (An earlier design attributed whole voxels
+    by their last LRU touch, which mis-corrects every earlier point in a
+    revisited slab by up to the full drift magnitude —
+    tests/test_reanchor.py::test_reanchor_revisited_voxel_exact covers the
+    regression.) Surfel moments are rebuilt from the re-inserted slab
+    points (moment history beyond the slab cap is reset; it re-matures in
+    a few scans).
 
     Args:
       seg_of_epoch: (E,) int32 mapping insert-epoch -> correction segment
@@ -620,21 +635,25 @@ def reanchor(
     slot_valid = (
         jnp.arange(s, dtype=jnp.int32)[None, :] < m.counts[:, None]
     ) & m.occupied[:, None]
-    seg = seg_of_epoch[jnp.clip(m.stamps, 0, seg_of_epoch.shape[0] - 1)]
-    r = rots[seg]  # (C, 3, 3)
-    t = trans[seg]  # (C, 3)
-    pts = jnp.einsum("cij,csj->csi", r, m.points) + t[:, None, :]
 
     n_chunks = -(-(c * s) // chunk)
     pad = n_chunks * chunk - c * s
-    flat_pts = jnp.pad(pts.reshape(c * s, 3), ((0, pad), (0, 0)))
+    flat_pts = jnp.pad(m.points.reshape(c * s, 3), ((0, pad), (0, 0)))
     flat_ok = jnp.pad(slot_valid.reshape(c * s), (0, pad))
+    flat_ep = jnp.pad(m.slot_stamps.reshape(c * s), (0, pad))
 
     fresh = make_map(cfg, m.points.dtype)._replace(epoch=m.epoch)
 
     def body(i, fresh):
         p_chunk = jax.lax.dynamic_slice_in_dim(flat_pts, i * chunk, chunk)
         ok_chunk = jax.lax.dynamic_slice_in_dim(flat_ok, i * chunk, chunk)
+        ep_chunk = jax.lax.dynamic_slice_in_dim(flat_ep, i * chunk, chunk)
+        # Per-point rigid correction (transform INSIDE the chunk loop: a
+        # materialized (C, S, 3, 3) rotation gather would be ~3x the arena).
+        seg = seg_of_epoch[jnp.clip(ep_chunk, 0, seg_of_epoch.shape[0] - 1)]
+        p_chunk = (
+            jnp.einsum("nij,nj->ni", rots[seg], p_chunk) + trans[seg]
+        )
         if axis_name is not None:
             p_chunk = jax.lax.all_gather(p_chunk, axis_name, tiled=True)
             ok_chunk = jax.lax.all_gather(ok_chunk, axis_name, tiled=True)
