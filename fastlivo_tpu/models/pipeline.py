@@ -619,13 +619,48 @@ class LivoPipeline:
         # world cloud (an empty photometric update) instead of the host
         # rollback to the last accepted cloud; both recover at the next
         # accepted scan.
+        #
+        # scan_batch semantics: 1 = fetch per scan; K>1 = flush every K
+        # scans; 0 = FETCH-FREE steady state — flush only at finish()/
+        # checkpoint. 0 is the right mode for tunneled remote TPUs, whose
+        # PJRT client PERMANENTLY degrades all subsequent dispatches
+        # (~0.15 ms -> ~850 ms) after the first device->host transfer of
+        # any program output, however small (measured; this — not buffer
+        # freshness — is the round-2 "e2e floor"). In mode 0 without a
+        # loop backend, pending entries do not retain world clouds (a
+        # whole run's clouds would exhaust HBM); the rejected-scan cloud
+        # rollback is skipped (the on-device gate already zeroed the
+        # rejected cloud's mask, so downstream consumers see an empty —
+        # never a wrong — cloud).
         self.scan_batch = int(getattr(cfg.lio, "scan_batch", 1))
-        self._batch_eligible = self.scan_batch > 1 and not cfg.gnss.gnss_en
+        self._batch_eligible = self.scan_batch != 1 and not cfg.gnss.gnss_en
         # Mixed pending queue, in dispatch order:
-        #   ("scan", t_abs, summary, cloud, mask, last_img)
-        #   ("img",  t_abs, summary)
+        #   ("scan", t_abs, cloud, mask, last_img)   |   ("img", t_abs)
+        # Summaries are NOT kept as per-measurement handles: on the
+        # tunneled TPU each individual device->host read after the first
+        # costs seconds (measured ~8 s/row draining a 60-scan run), so the
+        # packed rows accumulate into ONE device-side buffer via a tiny
+        # donated append dispatch (~us) and flush fetches the whole buffer
+        # once.
         self._pending_scans: list = []
         self._pending_n_scans = 0
+        self._retain_clouds = self.loop_backend is not None
+        self._sum_cap = 65536  # deferred measurements per flush (1.8 h @ 10 Hz)
+        if self._batch_eligible:
+            self._sum_buf = self._replicate(
+                jnp.zeros((self._sum_cap, 11), dtype)
+            )
+            self._sum_idx = self._replicate(jnp.zeros((), jnp.int32))
+            cap = self._sum_cap
+
+            def _append(buf, idx, row):
+                if row.shape[0] < 11:
+                    row = jnp.concatenate(
+                        [row, jnp.zeros((11 - row.shape[0],), row.dtype)]
+                    )
+                return buf.at[jnp.minimum(idx, cap - 1)].set(row), idx + 1
+
+            self._append_sum = jax.jit(_append, donate_argnums=(0,))
         self._vio_step = jax.jit(
             vio_scan_step,
             static_argnames=("cfg",),
@@ -731,13 +766,32 @@ class LivoPipeline:
                 self.step_cfg,
             )
             self._epoch_stamps.append(t_abs)
-            self._pending_scans.append(
-                ("scan", t_abs, summary, self.world_cloud, self.world_mask,
-                 self._last_vio_img)
+            self._sum_buf, self._sum_idx = self._append_sum(
+                self._sum_buf, self._sum_idx, summary
             )
+            if self._retain_clouds:
+                self._pending_scans.append(
+                    ("scan", t_abs, self.world_cloud, self.world_mask,
+                     self._last_vio_img)
+                )
+            else:
+                # scan_batch=0 holds a whole run's queue; retained clouds
+                # would pin ~0.8 MB x n_scans of HBM for nothing — no loop
+                # backend consumes them.
+                self._pending_scans.append(("scan", t_abs, None, None, None))
             self._pending_n_scans += 1
-            if self._pending_n_scans >= self.scan_batch:
+            full = len(self._pending_scans) >= self._sum_cap
+            if (
+                self.scan_batch > 0 and self._pending_n_scans >= self.scan_batch
+            ) or full:
                 self.flush_scans()
+            elif self._pending_n_scans % 32 == 0:
+                # Sync heartbeat (NO fetch): forces the enqueued chain to
+                # execute on the fast path now. Work still queued when the
+                # terminal fetch arrives drains ~200x slower (tunneled-
+                # client pathology, see CLAUDE.md), so an unbounded async
+                # queue turns the finish() drain from seconds into minutes.
+                jax.block_until_ready(self._sum_idx)
             return None
 
         prev_cloud, prev_cloud_mask = self.world_cloud, self.world_mask
@@ -804,18 +858,24 @@ class LivoPipeline:
             return
         pending, self._pending_scans = self._pending_scans, []
         self._pending_n_scans = 0
-        jax.block_until_ready(pending[-1][2])  # one sync for the chain
+        jax.block_until_ready(self._sum_idx)  # one sync for the chain
+        # ONE device->host transfer for the whole batch, through a jitted
+        # copy: on the tunneled TPU the first fetch of a long-donation-
+        # chain buffer costs ~55 s while fetching a fresh single-hop copy
+        # costs ~9 s (both one-time; per-row reads cost seconds EACH).
+        rows = np.asarray(jax.jit(lambda b: b + 0.0)(self._sum_buf))
+        self._sum_idx = self._replicate(jnp.zeros((), jnp.int32))
         last_ok = None
         from scipy.spatial.transform import Rotation as _R
 
         for k, entry in enumerate(pending):
-            kind, t_abs, summary = entry[0], entry[1], entry[2]
-            s = np.asarray(summary)
+            kind, t_abs = entry[0], entry[1]
+            s = rows[k]
             pos, quat = s[0:3], s[3:7]
             if kind == "img":
                 self.trajectory.append((t_abs, pos, quat))
                 continue
-            _, _, _, cloud, mask, img = entry
+            _, _, cloud, mask, img = entry
             n_eff, accepted = int(s[7]), bool(s[9] > 0.5)
             if n_eff < self._min_effective:
                 self.health["low_constraint"] += 1
@@ -824,7 +884,7 @@ class LivoPipeline:
                 self.health["resets"] += 1
             else:
                 last_ok = k
-                if self.loop_backend is not None:
+                if self.loop_backend is not None and cloud is not None:
                     wc = np.asarray(cloud)[np.asarray(mask)]
                     # quat is wxyz; scipy expects xyzw
                     rot = _R.from_quat(
@@ -834,8 +894,12 @@ class LivoPipeline:
                         rot, pos, wc, stamp=t_abs, img=img
                     )
             self.trajectory.append((t_abs, pos, quat))
+        if not self._retain_clouds:
+            # Clouds were not kept; self.world_cloud already holds the
+            # last dispatched scan's cloud (empty-masked if rejected).
+            return
         if last_ok is not None:
-            self.world_cloud, self.world_mask = pending[last_ok][3:5]
+            self.world_cloud, self.world_mask = pending[last_ok][2:4]
         elif any(e[0] == "scan" for e in pending):
             self.world_cloud, self.world_mask = self._batch_prev_cloud
 
@@ -976,8 +1040,14 @@ class LivoPipeline:
         )
         if self._batch_eligible:
             # Chained dispatch; defer the trajectory fetch to flush_scans.
-            self._pending_scans.append(("img", t_abs, summary))
-            if len(self._pending_scans) >= 8 * self.scan_batch + 8:
+            self._sum_buf, self._sum_idx = self._append_sum(
+                self._sum_buf, self._sum_idx, summary
+            )
+            self._pending_scans.append(("img", t_abs))
+            if (
+                self.scan_batch > 0
+                and len(self._pending_scans) >= 8 * self.scan_batch + 8
+            ) or len(self._pending_scans) >= self._sum_cap:
                 # Backstop for image-heavy streams (flush cadence is
                 # normally driven by the scan count).
                 self.flush_scans()

@@ -15,6 +15,7 @@ tum.txt / loop_tum.txt / map.pcd (and a timing CSV) to --out.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import Optional
@@ -35,7 +36,19 @@ def run_log(
     dump_states: Optional[str] = None,
 ):
     """Programmatic runner. Returns the pipeline after the run."""
+    import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: first compiles on the tunneled TPU cost
+    # 30-90 s PER PROGRAM; repeat runs should pay none of it (tests already
+    # do this via conftest).
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_fastlivo"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from fastlivo_tpu.io import logio
     from fastlivo_tpu.io.sensors import ImageFrame, ImuSample, LidarScan
@@ -188,8 +201,6 @@ def run_log(
         print(timer.report())
     pipe.finish(out_dir)
     if out_dir is not None:
-        import os
-
         timer.write_csv(os.path.join(out_dir, "time_log.csv"))
     return pipe
 

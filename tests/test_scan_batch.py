@@ -87,8 +87,11 @@ def test_pipeline_scan_batch_matches_unbatched():
 
     t1 = drive(1)
     t4 = drive(4)
+    t0 = drive(0)  # fetch-free mode: flush only at finish()
     assert len(t1) == len(t4) and len(t1) >= 20
     np.testing.assert_allclose(t4, t1, atol=1e-6)
+    assert len(t0) == len(t1)
+    np.testing.assert_allclose(t0, t1, atol=1e-6)
 
 
 def test_pipeline_livo_batch_matches_unbatched():
@@ -124,7 +127,10 @@ def test_pipeline_livo_batch_matches_unbatched():
 
     ts1, p1 = drive(1)
     ts4, p4 = drive(4)
+    ts0, p0 = drive(0)  # fetch-free mode (clouds not retained)
     # Both scan-end AND image-bounded entries, in the same order.
     assert len(ts1) == len(ts4) and len(ts1) >= 30
     np.testing.assert_allclose(ts4, ts1)
     np.testing.assert_allclose(p4, p1, atol=1e-6)
+    np.testing.assert_allclose(ts0, ts1)
+    np.testing.assert_allclose(p0, p1, atol=1e-6)
