@@ -204,12 +204,23 @@ def main():
     max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     points = points_weak_scaling(max_dev)
     maps = map_weak_scaling(max_dev)
-    print(
-        json.dumps(
-            {"metric": "weak_scaling", "points_sharded": points,
-             "map_sharded": maps}
-        )
-    )
+    out = {
+        "metric": "weak_scaling",
+        "caveat": (
+            "N-virtual-device CPU mesh sharing one socket: a lower-bound "
+            "sanity check of the work partitioning, not an ICI measurement"
+        ),
+        "points_sharded": points,
+        "map_sharded": maps,
+    }
+    print(json.dumps(out))
+    # Recorded artifact (round-2 weakness: results lived only in a README
+    # table) — committed as SCALING.json per round.
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

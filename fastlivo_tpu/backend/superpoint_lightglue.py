@@ -76,11 +76,12 @@ def _pool(x):
     )
 
 
-def superpoint_forward(
+def superpoint_logits(
     weights: Dict[str, jnp.ndarray], img: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """img (H, W) float in [0, 1] -> (score map (H, W), dense desc
-    (H/8, W/8, 256) L2-normalized). H and W must be multiples of 8."""
+    """img (H, W) float in [0, 1] -> (detector logits (H/8, W/8, 65) —
+    64 in-cell positions + dustbin, pre-softmax (the training loss needs
+    them raw), dense desc (H/8, W/8, 256) L2-normalized)."""
 
     def c(name, x, relu=True):
         y = _conv(x, weights[f"{name}.w"], weights[f"{name}.b"])
@@ -95,15 +96,23 @@ def superpoint_forward(
     x = _pool(x)
     x = c("conv4b", c("conv4a", x))
 
-    # Detector head: 65-way softmax (64 cells + dustbin) -> depth-to-space.
-    p = c("convPb", c("convPa", x), relu=False)  # (1, H/8, W/8, 65)
-    p = jax.nn.softmax(p, axis=-1)[..., :64]
-    hc, wc = p.shape[1], p.shape[2]
-    scores = p.reshape(hc, wc, 8, 8).transpose(0, 2, 1, 3).reshape(hc * 8, wc * 8)
+    logits = c("convPb", c("convPa", x), relu=False)[0]  # (H/8, W/8, 65)
 
-    # Descriptor head.
     d = c("convDb", c("convDa", x), relu=False)[0]  # (H/8, W/8, 256)
     d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    return logits, d
+
+
+def superpoint_forward(
+    weights: Dict[str, jnp.ndarray], img: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """img (H, W) float in [0, 1] -> (score map (H, W), dense desc
+    (H/8, W/8, 256) L2-normalized). H and W must be multiples of 8."""
+    logits, d = superpoint_logits(weights, img)
+    # Detector head: 65-way softmax (64 cells + dustbin) -> depth-to-space.
+    p = jax.nn.softmax(logits, axis=-1)[..., :64]
+    hc, wc = p.shape[0], p.shape[1]
+    scores = p.reshape(hc, wc, 8, 8).transpose(0, 2, 1, 3).reshape(hc * 8, wc * 8)
     return scores, d
 
 
@@ -281,8 +290,16 @@ def lightglue_forward(
 
 
 def load_npz(path: str) -> Dict[str, jnp.ndarray]:
+    """Load a weight pytree; float arrays (possibly stored f16 to halve the
+    committed artifact) are promoted to f32 for compute."""
     data = np.load(path)
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    out = {}
+    for k in data.files:
+        a = data[k]
+        out[k] = jnp.asarray(
+            a, jnp.float32 if np.issubdtype(a.dtype, np.floating) else None
+        )
+    return out
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "n_layers"))
@@ -309,12 +326,20 @@ class SuperPointLightGlueMatcher:
         lg_weights: Dict[str, jnp.ndarray],
         max_keypoints: int = 512,
         match_thresh: float = 0.1,
-        n_layers: int = N_LAYERS,
+        n_layers: int | None = None,
     ):
         self.sp = sp_weights
         self.lg = lg_weights
         self.max_keypoints = max_keypoints
         self.match_thresh = match_thresh
+        if n_layers is None:
+            # Weight blobs carry their own depth (reduced-layer in-repo
+            # trained artifacts vs the official 9-layer architecture).
+            n_layers = (
+                int(lg_weights["n_layers"])
+                if "n_layers" in lg_weights
+                else N_LAYERS
+            )
         self.n_layers = n_layers
 
     def match(self, img1: np.ndarray, img2: np.ndarray):

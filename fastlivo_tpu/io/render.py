@@ -32,14 +32,19 @@ def texture(p: jnp.ndarray) -> jnp.ndarray:
     return 128.0 + 95.0 * v / 1.35
 
 
-def render_room(
+def render_room_hits(
     cam: Pinhole,
     rcw: jnp.ndarray,
     pcw: jnp.ndarray,
     half: float = 10.0,
     floor_z: float = -1.5,
-) -> jnp.ndarray:
-    """Render an (H, W) float32 image of the room from a world->camera pose."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render from a world->camera pose, also returning the per-pixel world
+    hit points — exact dense correspondence supervision for training the
+    learned matcher (the room is convex and viewed from inside, so there is
+    no occlusion: any hit point is visible from every interior pose).
+
+    Returns (img (H, W) f32, hits (H, W, 3) world points, valid (H, W))."""
     uu, vv = jnp.meshgrid(
         jnp.arange(cam.width, dtype=jnp.float32) + 0.5,
         jnp.arange(cam.height, dtype=jnp.float32) + 0.5,
@@ -52,7 +57,7 @@ def render_room(
 
     big = jnp.float32(1e9)
 
-    def plane_hit(axis: int, value: float, lo_ok):
+    def plane_hit(axis: int, value: float):
         dn = d[:, axis]
         t = (value - o[axis]) / jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
         p = o[None, :] + t[:, None] * d
@@ -69,7 +74,7 @@ def render_room(
 
     ts, ps = [], []
     for axis, value in ((2, floor_z), (0, -half), (0, half), (1, -half), (1, half)):
-        t, p = plane_hit(axis, value, None)
+        t, p = plane_hit(axis, value)
         ts.append(t)
         ps.append(p)
     tstack = jnp.stack(ts, axis=0)  # (5, Npix)
@@ -79,5 +84,23 @@ def render_room(
         pstack, best[None, :, None].repeat(3, axis=2), axis=0
     )[0]
     tmin = jnp.min(tstack, axis=0)
-    img = jnp.where(tmin < big, texture(hit), 0.0)
-    return img.reshape(cam.height, cam.width).astype(jnp.float32)
+    ok = tmin < big
+    img = jnp.where(ok, texture(hit), 0.0)
+    h, w = cam.height, cam.width
+    return (
+        img.reshape(h, w).astype(jnp.float32),
+        hit.reshape(h, w, 3).astype(jnp.float32),
+        ok.reshape(h, w),
+    )
+
+
+def render_room(
+    cam: Pinhole,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    half: float = 10.0,
+    floor_z: float = -1.5,
+) -> jnp.ndarray:
+    """Render an (H, W) float32 image of the room from a world->camera pose."""
+    img, _, _ = render_room_hits(cam, rcw, pcw, half, floor_z)
+    return img

@@ -291,38 +291,55 @@ def _innovation_vgicp(
     return hth, hty, n_eff, res_sum
 
 
-def _innovation_surfel(
+def surfel_match(
     rot: jnp.ndarray,
     pos: jnp.ndarray,
     pts_body: jnp.ndarray,
-    pts_mask: jnp.ndarray,
     lidar_map: vm.VoxelHashMap,
     rot_il: jnp.ndarray,
     t_il: jnp.ndarray,
     map_cfg: vm.VoxelMapConfig,
     cfg: LioConfig,
-    axis_name: str | None = None,
     map_axis: str | None = None,
-):
-    """Point-to-surfel innovation: identical residual/Jacobian structure to
-    point-to-plane, but the plane comes from the voxel's running moments
-    (vm.surfel_lookup) instead of a kNN gather + per-scan fit.
+) -> vm.SurfelResult:
+    """Associate each point with a map surfel at the CURRENT pose estimate.
 
-    With `map_axis` set the arena is sharded across that mesh axis and the
-    lookup is the collective-merged variant; pts_body must then be the full
-    REPLICATED scan and no innovation psum runs (every device computes the
-    identical full innovation)."""
-    p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
+    The resulting plane (normal, d, confidence) is pose-INDEPENDENT — it
+    comes from the voxel's running moments only — so the iterated update
+    caches it and re-matches on the re-match schedule, exactly like the
+    p2pl path's neighbor cache (reference nearest_search_en,
+    laser_mapping.cpp:218-231). Re-running the lookup every iteration
+    (round <=2 behavior) redid the arena's gather-heavy probe 4x per scan
+    for identical planes.
+    """
+    _, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
     if map_axis is not None:
-        surf = vm.sharded_surfel_lookup(
+        return vm.sharded_surfel_lookup(
             lidar_map, p_w, map_cfg, map_axis,
             cfg.surfel_min_points, cfg.surfel_planarity_max,
         )
-    else:
-        surf = vm.surfel_lookup(
-            lidar_map, p_w, map_cfg,
-            cfg.surfel_min_points, cfg.surfel_planarity_max,
-        )
+    return vm.surfel_lookup(
+        lidar_map, p_w, map_cfg,
+        cfg.surfel_min_points, cfg.surfel_planarity_max,
+    )
+
+
+def _innovation_surfel(
+    rot: jnp.ndarray,
+    pos: jnp.ndarray,
+    pts_body: jnp.ndarray,
+    pts_mask: jnp.ndarray,
+    surf: vm.SurfelResult,
+    rot_il: jnp.ndarray,
+    t_il: jnp.ndarray,
+    cfg: LioConfig,
+    axis_name: str | None = None,
+):
+    """Point-to-surfel innovation: identical residual/Jacobian structure to
+    point-to-plane, but the plane comes from a CACHED surfel match
+    (`surfel_match`) — this function is gather-free and runs every ESKF
+    iteration."""
+    p_imu, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
     normal, d, surf_ok = surf.normal, surf.d, surf.valid
 
     pd2 = jnp.sum(normal * p_w, axis=-1) + d
@@ -422,12 +439,19 @@ def lio_update(
 
     def search(rot, pos):
         if surfel_mode:
-            # Surfel mode needs no neighbor cache — planes come from voxel
-            # moments at evaluation time.
-            return (
-                jnp.zeros((n, k, 3), dtype),
-                jnp.zeros((n, k), bool),
+            # The "neighbor cache" is the matched surfel plane, packed into
+            # the nbr/nbr_valid carry: nbr[:, 0] = normal, nbr[:, 1] =
+            # (d, min_eig, n_pts); nbr_valid[:, 0] = plane validity.
+            surf = surfel_match(
+                rot, pos, pts_body, lidar_map, rot_il, t_il, map_cfg, cfg,
+                map_axis,
             )
+            eig = jnp.where(jnp.isfinite(surf.min_eig), surf.min_eig, 0.0)
+            nbr = jnp.stack(
+                [surf.normal, jnp.stack([surf.d, eig, surf.n_pts], axis=-1)],
+                axis=1,
+            )  # (n, 2, 3)
+            return nbr, surf.valid[:, None]
         _, p_w = transform_to_world(pts_body, rot, pos, rot_il, t_il)
         if map_axis is not None:
             nbr, _, nbr_valid = vm.sharded_knn(
@@ -471,9 +495,16 @@ def lio_update(
         )
 
         if surfel_mode:
+            surf = vm.SurfelResult(
+                normal=nbr[:, 0, :],
+                d=nbr[:, 1, 0],
+                valid=nbr_valid[:, 0],
+                min_eig=nbr[:, 1, 1],
+                n_pts=nbr[:, 1, 2],
+            )
             hth6, hty6, n_eff, res_sum = _innovation_surfel(
-                c.rot, c.pos, pts_body, pts_mask, lidar_map, rot_il, t_il,
-                map_cfg, cfg, axis_name, map_axis,
+                c.rot, c.pos, pts_body, pts_mask, surf, rot_il, t_il,
+                cfg, axis_name,
             )
         else:
             if cfg.measurement_model == "vgicp":

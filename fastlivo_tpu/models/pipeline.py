@@ -94,6 +94,7 @@ class StepConfig:
                 probe_depth=cfg.map.probe_depth,
                 surfel_decay=cfg.map.surfel_decay,
                 surfel_freeze_n=cfg.map.surfel_freeze_n,
+                lookup_unique_cap=cfg.map.lookup_unique_cap,
             ),
             lio_cfg=lio.LioConfig(
                 max_iteration=cfg.lio.max_iteration,
@@ -133,6 +134,17 @@ class ScanInput(NamedTuple):
     imu: imu_mod.ImuWindow  # fixed-size IMU window
     t_end: jnp.ndarray  # () scan-end time relative to window start
     acc_scale: jnp.ndarray  # () G / |mean_acc| normalization
+
+
+def _maybe_dedup(pts_w, mask, map_cfg):
+    """Unique-voxel dedup shared between the insert gate and the insert
+    (one sort instead of two); None when dedup is disabled or pointless."""
+    cap = map_cfg.lookup_unique_cap
+    if not cap or pts_w.shape[0] <= cap:
+        return None
+    return vm.unique_voxels(
+        vm.voxel_coord(pts_w, map_cfg.resolution), mask, cap
+    )
 
 
 def lio_scan_step(
@@ -261,41 +273,73 @@ def lio_scan_step(
     # loop backend) never see points registered with a rejected pose.
     ds_mask = ds_mask & accept
     p_w = jnp.where(jnp.isfinite(p_w), p_w, 0.0)
-    if cfg.lio_cfg.measurement_model == "surfel":
-        # Surfel mode skips the per-iteration kNN, but the map-insert gate
-        # still needs real neighbors: without it every scan re-inserts
-        # duplicates and the unbounded moment accumulators get poisoned by
-        # transient pose error (measured: 9 cm -> 224 cm ATE with VIO
-        # interleaving). One kNN per scan is ~0.03 ms — the surfel win is
-        # removing it from the iterated update, not from the gate.
+    surfel = cfg.lio_cfg.measurement_model == "surfel"
+    if surfel:
+        # Surfel mode skips the per-iteration kNN, but the map insert still
+        # needs a density gate: without it every scan re-inserts duplicates
+        # and the unbounded moment accumulators get poisoned by transient
+        # pose error (measured: 9 cm -> 224 cm ATE with VIO interleaving).
+        # The gate reads the point's OWN voxel slab (one probe + one slab
+        # gather, vm.slab_insert_gate) instead of a 19-voxel kNN — the kNN
+        # gate was the single most expensive op left in the surfel step
+        # (~20 gather passes for one bit per point).
         if map_axis is not None:
-            nbr, _, nv = vm.sharded_knn(
-                lidar_map, p_w, cfg.map_cfg, map_axis,
-                k=cfg.lio_cfg.num_match_points,
+            # Gather the query slices first (no-op on a 1-D map mesh),
+            # gate against the LOCAL shard (only the owner resolves its
+            # voxel; non-owners default to add=True and are masked off
+            # inside sharded_insert anyway). The RETURNED p_w keeps its
+            # own layout (replicated in map-sharded mode).
+            p_w_ins, m_ins = p_w, ds_mask
+            if query_axis is not None:
+                p_w_ins = jax.lax.all_gather(p_w, query_axis, tiled=True)
+                m_ins = jax.lax.all_gather(ds_mask, query_axis, tiled=True)
+                p_w, ds_mask = p_w_ins, m_ins  # cloud replicated here too
+            dd = _maybe_dedup(p_w_ins, m_ins, cfg.map_cfg)
+            add = vm.slab_insert_gate(
+                lidar_map, p_w_ins, m_ins, cfg.map_cfg,
+                cfg.lio_cfg.filter_size_map, cfg.lio_cfg.num_match_points,
+                dedup=dd,
+            )
+            lidar_map = vm.sharded_insert(
+                lidar_map, p_w_ins, add, cfg.map_cfg, map_axis, dedup=dd
             )
         else:
-            nbr, _, nv = vm.knn(
-                lidar_map, p_w, cfg.map_cfg, k=cfg.lio_cfg.num_match_points
+            p_w_ins, m_ins = p_w, ds_mask
+            if axis_name is not None:
+                # Replicated map on a points mesh: insert the full gathered
+                # scan everywhere; the returned cloud stays sharded.
+                p_w_ins = jax.lax.all_gather(p_w, axis_name, tiled=True)
+                m_ins = jax.lax.all_gather(ds_mask, axis_name, tiled=True)
+            dd = _maybe_dedup(p_w_ins, m_ins, cfg.map_cfg)
+            add = vm.slab_insert_gate(
+                lidar_map, p_w_ins, m_ins, cfg.map_cfg,
+                cfg.lio_cfg.filter_size_map, cfg.lio_cfg.num_match_points,
+                dedup=dd,
             )
-        nv = nv & ds_mask[:, None]
-    add = lio.map_insert_gate(p_w, ds_mask, nbr, nv, cfg.lio_cfg.filter_size_map)
-
-    if axis_name is None:
-        lidar_map = vm.insert(lidar_map, p_w, add, cfg.map_cfg)
-    elif map_axis is not None:
-        # Sharded arena: every device needs the full gated scan to insert
-        # its owned voxels; gather the query slices (no-op when queries
-        # were replicated on a 1-D map mesh).
-        if query_axis is not None:
-            p_w = jax.lax.all_gather(p_w, query_axis, tiled=True)
-            add = jax.lax.all_gather(add, query_axis, tiled=True)
-            ds_mask = jax.lax.all_gather(ds_mask, query_axis, tiled=True)
-        lidar_map = vm.sharded_insert(lidar_map, p_w, add, cfg.map_cfg, map_axis)
+            lidar_map = vm.insert(lidar_map, p_w_ins, add, cfg.map_cfg, dedup=dd)
     else:
-        # Keep map replicas identical: insert the full gated scan everywhere.
-        p_w_all = jax.lax.all_gather(p_w, axis_name, tiled=True)
-        add_all = jax.lax.all_gather(add, axis_name, tiled=True)
-        lidar_map = vm.insert(lidar_map, p_w_all, add_all, cfg.map_cfg)
+        add = lio.map_insert_gate(
+            p_w, ds_mask, nbr, nv, cfg.lio_cfg.filter_size_map
+        )
+        if axis_name is None:
+            lidar_map = vm.insert(lidar_map, p_w, add, cfg.map_cfg)
+        elif map_axis is not None:
+            # Sharded arena: every device needs the full gated scan to
+            # insert its owned voxels; gather the query slices (no-op when
+            # queries were replicated on a 1-D map mesh).
+            if query_axis is not None:
+                p_w = jax.lax.all_gather(p_w, query_axis, tiled=True)
+                add = jax.lax.all_gather(add, query_axis, tiled=True)
+                ds_mask = jax.lax.all_gather(ds_mask, query_axis, tiled=True)
+            lidar_map = vm.sharded_insert(
+                lidar_map, p_w, add, cfg.map_cfg, map_axis
+            )
+        else:
+            # Keep map replicas identical: insert the full gated scan
+            # everywhere (the returned cloud stays sharded).
+            p_w_all = jax.lax.all_gather(p_w, axis_name, tiled=True)
+            add_all = jax.lax.all_gather(add, axis_name, tiled=True)
+            lidar_map = vm.insert(lidar_map, p_w_all, add_all, cfg.map_cfg)
 
     # World cloud for the next VIO frames (the reference's pcl_wait_pub,
     # laser_mapping.cpp:270-274).

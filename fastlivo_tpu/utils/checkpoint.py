@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCHEMA_VERSION = 3
+SCHEMA_VERSION = 4
 
 
 def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
@@ -54,7 +54,8 @@ def save_pipeline(path: str, pipe, meta: Dict[str, Any] | None = None):
     header = {
         # Bump on any change to array SEMANTICS (not just shapes): v2 =
         # surfel moments stored in voxel-local coordinates; v3 = per-point
-        # slot_stamps field added to the voxel arena.
+        # slot_stamps field added to the voxel arena; v4 = non-wrapping
+        # window hash (arena slot layout changed).
         "schema_version": SCHEMA_VERSION,
         "first_scan": pipe.first_scan,
         "init_done": pipe.initializer.done,

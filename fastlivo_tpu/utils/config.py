@@ -64,6 +64,9 @@ class MapParams:
     # freeze_n > 0 use decay = 1.0 (decay erodes frozen voxels' counts).
     surfel_decay: float = 0.9
     surfel_freeze_n: float = 0.0
+    # Unique-voxel dedup cap for surfel lookups (see
+    # maps/voxel_map.VoxelMapConfig.lookup_unique_cap); 0 disables.
+    lookup_unique_cap: int = 16384
 
 
 @dataclass

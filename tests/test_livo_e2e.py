@@ -136,6 +136,20 @@ def test_surfel_livo_pipeline_tracks(seq):
     assert err < 0.08, f"surfel-LIVO ATE {err * 100:.1f} cm"
 
 
+def test_surfel_livo_dedup_lookup_tracks(seq):
+    """Same flagship surfel-LIVO drive with the unique-voxel lookup dedup
+    FORCED ON (cap < query count — the default cap only activates at 65k
+    scan budgets, which the CPU suite never reaches): the per-voxel winner
+    approximation must not move the e2e ATE."""
+    cfg = make_cfg()
+    cfg.lio.measurement_model = "surfel"
+    cfg.map.lookup_unique_cap = 1024  # << 8192 queries -> dedup active
+    pipe, est, n_lio, n_vio = drive_livo(seq, cfg)
+    assert n_lio >= 20 and n_vio >= 20, (n_lio, n_vio)
+    err = ate_vs_gt(seq, est)
+    assert err < 0.08, f"dedup surfel-LIVO ATE {err * 100:.1f} cm"
+
+
 def test_livo_tracks_under_brightness_ramp(seq):
     """Affine exposure compensation (vio.exposure_en, the working version
     of the reference's unused exp_time plumbing): a sequence whose frames

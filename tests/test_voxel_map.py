@@ -136,3 +136,64 @@ def test_surfel_freeze_stops_moment_growth():
     for _ in range(12):
         m0 = ins(m0, batch(0.0), jnp.ones(10, bool), cfg0)
     assert float(m0.surf_n.max()) > 100.0
+
+
+def test_surfel_lookup_dedup_agrees_with_per_point(rng):
+    """The unique-voxel dedup path (lookup_unique_cap < N) must agree with
+    the per-point path on everything except border points whose stencil
+    winner legitimately differs (the dedup winner is chosen from the voxel
+    CENTER): planes valid for the same >=97% of points, identical plane
+    params wherever both picked the same slot."""
+    import dataclasses
+
+    cfg0 = vm.VoxelMapConfig(
+        resolution=0.5, capacity=1 << 15, max_points=16, lookup_unique_cap=0
+    )
+    cfgd = dataclasses.replace(cfg0, lookup_unique_cap=2048)
+    m = vm.make_map(cfg0)
+    ins = jax.jit(vm.insert, static_argnames="cfg")
+    # dense floor patch -> mature surfels. The plane sits MID-voxel
+    # (z=0.25): a plane on a voxel boundary splits the z-noise Gaussian
+    # into two half-truncated surfels with ~±0.8 sigma biased means, which
+    # measures scene pathology, not the dedup approximation.
+    for _ in range(4):
+        pts = np.stack(
+            [rng.uniform(-6, 6, 20000), rng.uniform(-6, 6, 20000),
+             0.25 + 0.02 * rng.standard_normal(20000)], 1
+        ).astype(np.float32)
+        m = ins(m, jnp.asarray(pts), jnp.ones(len(pts), bool), cfg0)
+
+    q = np.stack(
+        [rng.uniform(-5, 5, 8192), rng.uniform(-5, 5, 8192),
+         0.25 + 0.05 * rng.standard_normal(8192)], 1
+    ).astype(np.float32)
+    look0 = jax.jit(
+        lambda mm, qq: vm.surfel_lookup(mm, qq, cfg0), static_argnames=()
+    )
+    lookd = jax.jit(lambda mm, qq: vm.surfel_lookup(mm, qq, cfgd))
+    r0 = look0(m, jnp.asarray(q))
+    rd = lookd(m, jnp.asarray(q))
+    v0 = np.asarray(r0.valid)
+    vd = np.asarray(rd.valid)
+    assert v0.sum() > 6000
+    agree = (v0 == vd).mean()
+    assert agree > 0.97, f"validity agreement {agree:.3f}"
+    both = v0 & vd
+    # The chosen SLOT may legitimately differ (per-point winners often pick
+    # a neighbor voxel whose mean is nearer the off-center point; the
+    # dedup winner picks from the voxel center) — but on locally planar
+    # geometry the resulting PLANES are interchangeable: the point-to-
+    # plane residuals must agree to millimeters.
+    r_pp0 = np.einsum("nc,nc->n", np.asarray(r0.normal), q) + np.asarray(r0.d)
+    r_ppd = np.einsum("nc,nc->n", np.asarray(rd.normal), q) + np.asarray(rd.d)
+    dres = np.abs(r_pp0 - r_ppd)[both]
+    # Where the two paths pick DIFFERENT (coplanar-ish) voxels, the
+    # residual difference is the plane-fit noise amplified by the lever
+    # arm to the neighbor's center: with sigma_z=2 cm surfels that is
+    # ~3-6 mm — real, bounded, and well inside the filter's measurement
+    # sigma (the confidence weighting downweights exactly the noisy
+    # fits). Gates: 90% of points within 1 cm, mean < 5 mm; the system
+    # check is the surfel e2e ATE with dedup forced on (test_livo_e2e).
+    frac = (dres < 1e-2).mean()
+    assert frac > 0.90, f"same-constraint fraction {frac:.3f}"
+    assert dres.mean() < 5e-3, f"mean residual diff {dres.mean():.4f} m"
