@@ -99,7 +99,10 @@ def superpoint_logits(
     logits = c("convPb", c("convPa", x), relu=False)[0]  # (H/8, W/8, 65)
 
     d = c("convDb", c("convDa", x), relu=False)[0]  # (H/8, W/8, 256)
-    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+    # Smooth norm: jnp.linalg.norm has a NaN gradient at exactly-zero
+    # vectors, which dead cells (all-black image regions) produce — one
+    # such cell NaNs the whole training step.
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
     return logits, d
 
 
@@ -162,7 +165,9 @@ def extract_keypoints(
         d00 * (1 - fx) * (1 - fy) + d01 * fx * (1 - fy)
         + d10 * (1 - fx) * fy + d11 * fx * fy
     )
-    desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    desc = desc * jax.lax.rsqrt(
+        jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12
+    )
     return kpts, desc, valid
 
 
