@@ -60,10 +60,31 @@ class LoopBackend:
         # SuperPoint+LightGlue match-ratio gate, laser_mapping.cpp:1290-1343).
         self.visual_verify_en = cfg.loop.visual_verify_en
         self.match_ratio_thresh = cfg.loop.match_ratio_thresh
+        self.pose_check_max_rot = cfg.loop.pose_check_max_rot
         self._frame_imgs: List[Optional[np.ndarray]] = []  # per STD frame
         self._last_img: Optional[np.ndarray] = None
         self._matcher = None
         self.rejected_loops: List[Tuple[int, int, float]] = []
+        # Camera model + camera-from-body rotation for the essential-matrix
+        # pose cross-check (composed as in LidarSelector::init:
+        # R_cb = Rcl @ R_il^T).
+        self._cam = None
+        self._rot_ci = np.eye(3)
+        try:
+            from fastlivo_tpu.ops.camera import Pinhole
+
+            c = cfg.camera
+            self._cam = Pinhole(
+                width=c.width, height=c.height,
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+            )
+            rcl = np.asarray(c.rcl, np.float64).reshape(3, 3)
+            r_il = np.asarray(
+                cfg.extrinsics.extrinsic_r, np.float64
+            ).reshape(3, 3)
+            self._rot_ci = rcl @ r_il.T
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
 
@@ -119,15 +140,22 @@ class LoopBackend:
                 from fastlivo_tpu.backend.visual_verify import verify_loop
 
                 if self._matcher is None:
-                    from fastlivo_tpu.backend.visual_verify import PatchMatcher
+                    # Learned matcher when trained weights are committed,
+                    # else the rotation-robust classical fallback.
+                    from fastlivo_tpu.backend.visual_verify import default_matcher
 
-                    self._matcher = PatchMatcher()
+                    self._matcher = default_matcher()
                 ok, res = verify_loop(
                     img_cur, img_old, self._matcher, self.match_ratio_thresh
                 )
                 if not ok:
                     self.rejected_loops.append((fid, kf_idx, res.match_ratio))
                     return
+                match_res = res
+            else:
+                match_res = None
+        else:
+            match_res = None
         kf_from = self._std_frame_kf[fid]
         # The STD transform maps current-frame coords to the matched frame's
         # coords (both world-ish but drift-apart): a relative pose between
@@ -140,6 +168,37 @@ class LoopBackend:
         t_j_corr = rot @ t_j + t
         rel_r = r_i.T @ r_j_corr
         rel_t = r_i.T @ (t_j_corr - t_i)
+
+        # Cross-check the STD/ICP pose against the image-derived relative
+        # rotation (the reference feeds recoverPose into the loop factor,
+        # laser_mapping.cpp:1326-1343; here the metric STD pose is kept and
+        # the match-derived rotation REJECTS inconsistent candidates —
+        # recoverPose is scale-free, so its translation can't replace
+        # STD's). Both rotations map current-camera to matched-camera
+        # coords: rel_r maps current-body -> from-body
+        # (x_bi = r_i^T r_j_corr x_bj), so in camera frames it is
+        # R_cb rel_r R_cb^T.
+        if (
+            match_res is not None
+            and self.pose_check_max_rot > 0
+            and self._cam is not None
+        ):
+            from fastlivo_tpu.backend.visual_verify import essential_pose
+
+            ep = essential_pose(match_res, self._cam)
+            if ep is not None:
+                r_vis, _t_unit, n_inl = ep
+                if n_inl >= 12:
+                    r_std_cam = self._rot_ci @ rel_r @ self._rot_ci.T
+                    dr = r_vis.T @ r_std_cam
+                    ang = float(
+                        np.arccos(
+                            np.clip((np.trace(dr) - 1.0) / 2.0, -1.0, 1.0)
+                        )
+                    )
+                    if ang > self.pose_check_max_rot:
+                        self.rejected_loops.append((fid, kf_idx, -ang))
+                        return
         # Loop transforms are decimeter-accurate (corner-resolution bound);
         # weight them like ~0.3 m sigma so they correct real drift without
         # overpowering a consistent odometry chain.

@@ -195,6 +195,33 @@ class SuperPointLightGlue:
         return self._impl.match(img1, img2)
 
 
+def default_weights_paths() -> Optional[Tuple[str, str]]:
+    """Committed learned-matcher artifacts, if present (trained in-repo by
+    examples/train_matcher.py; the reference ships none)."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.dirname(__file__)), "weights")
+    sp = os.path.join(d, "superpoint_synth.npz")
+    lg = os.path.join(d, "lightglue_synth.npz")
+    if os.path.exists(sp) and os.path.exists(lg):
+        return sp, lg
+    return None
+
+
+def default_matcher() -> "PatchMatcher":
+    """Best available loop-verification matcher: the learned
+    SuperPoint+LightGlue when trained weights are committed (parity with
+    the reference's ONNX runner gate), else the rotation-robust
+    OrientedPatchMatcher."""
+    paths = default_weights_paths()
+    if paths is not None:
+        try:
+            return SuperPointLightGlue(weights_path=paths)
+        except Exception:
+            pass
+    return OrientedPatchMatcher()
+
+
 def verify_loop(
     img1: np.ndarray,
     img2: np.ndarray,

@@ -5,14 +5,24 @@ Replaces the reference's iVox voxel-hash (reference: include/ivox3d/ivox3d.h
 GetClosestPoint :133, GenerateNearbyGrids :211) and the compile-time
 alternative ikd-Tree (include/ikd-Tree/) with a single **tensor arena**:
 
-- open-addressing hash table of `capacity` voxel slots (linear probing,
-  bounded window) storing voxel integer coords,
-- a fixed slab of `max_points` point slots per voxel,
-- LRU epoch stamps per slot; when a probe window is full the oldest slot in
-  the window is evicted (bounded-memory streaming, like iVox's LRU cache),
-- batched insert as pure scatters (conflict-free via sort + segment ranks,
-  multi-round slot claiming with scatter-min arbitration),
-- kNN as gathers over the 1/7/19/27-voxel neighborhood + running top-k.
+- a BUCKETIZED hash table: `capacity` voxel slots grouped into buckets of
+  `probe_depth` slots; a voxel hashes to one bucket and may occupy any of
+  its slots (set-associative, like a CPU cache way),
+- each slot's hot metadata is PACKED into one contiguous 8-word f32 row
+  [kx, ky, kz, stamp, n, s1x, s1y, s1z] so a probe is ONE 256-byte
+  bucket-row gather per query voxel — measured 1.7 ns/row on v5e vs
+  ~30 ns/row for the round-3 design's three separate windowed gathers
+  (keys/occupied/stamps); voxel coords are exact in f32 (|coord| < 2^22),
+- a fixed slab of `max_points` point slots per voxel, stored WIDE
+  (C, S*3) so a slab read is one contiguous row gather,
+- LRU stamps per slot; when a bucket is full the oldest slot is evicted
+  (bounded-memory streaming, like iVox's LRU cache),
+- batched insert as pure scatters: per-scan UNIQUE-voxel dedup (one sort,
+  shared with the insert gate), bucket-claim rounds with scatter-min
+  arbitration (skipped entirely via lax.cond when the scan hits no new
+  voxels), and SEGMENT-SUM moment accumulation (no duplicate-index
+  scatter-adds in the hot path),
+- kNN as bucket probes over the 1/7/19/27-voxel stencil + running top-k.
 
 Everything is static-shape and jit/vmap/shard_map-safe; the map state is an
 immutable pytree (functional updates), which also makes it checkpointable
@@ -32,6 +42,13 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 # Classic 3D spatial-hash primes (same family the reference's iVox uses).
 _HP = (98317, 1222827239, 51787565)
 
+# Packed meta row: 8 f32 words per slot.
+_W = 8  # [kx, ky, kz, stamp, n, s1x, s1y, s1z]
+# Empty-slot key sentinel: exact in f32, outside the clipped coord range.
+_EMPTY = float(1 << 26)
+# Voxel integer coords are clipped here so they stay exact in f32.
+_COORD_MAX = (1 << 22) - 1
+
 
 @dataclass(frozen=True)
 class VoxelMapConfig:
@@ -40,16 +57,21 @@ class VoxelMapConfig:
     resolution: float = 0.5
     capacity: int = 1 << 19  # voxel slots; must be a power of two
     max_points: int = 32  # point slots per voxel
-    probe_depth: int = 8  # linear probe window
+    probe_depth: int = 8  # slots per hash bucket (set associativity)
     nearby_type: int = 18  # 0 | 6 | 18 | 26 extra neighbor voxels for kNN
-    claim_rounds: int = 4  # slot-claim arbitration rounds per insert
+    # Max slot-claim arbitration rounds per insert. One contender per
+    # bucket resolves per round; the claim while_loop EXITS EARLY once
+    # every voxel has a slot, so steady-state scans (no new voxels) pay
+    # zero rounds and the default just bounds worst-case contention (up
+    # to `probe_depth` new voxels hashing into one bucket all resolve).
+    claim_rounds: int = 8
     # Static capacity of the per-scan UNIQUE-voxel table used to dedup
-    # surfel lookups: a 65k-point scan occupies only ~3-10k distinct map
-    # voxels, so probing per unique voxel instead of per point cuts the
+    # lookups and inserts: a 65k-point scan occupies only ~3-10k distinct
+    # map voxels, so probing per unique voxel instead of per point cuts the
     # gather-descriptor count (the TPU lookup cost) ~5-15x. Scans whose
     # distinct-voxel count exceeds the cap lose the surfel constraint for
     # the overflow points on that scan (the filter just sees fewer
-    # effective points); 0 disables dedup.
+    # effective points); 0 disables dedup (the table then sizes to N).
     lookup_unique_cap: int = 16384
     # Exponential forgetting of surfel moments on each touched-voxel insert:
     # bounds the effective history to ~1/(1-decay) scans so planes track
@@ -65,7 +87,12 @@ class VoxelMapConfig:
 
     def __post_init__(self):
         assert self.capacity & (self.capacity - 1) == 0, "capacity must be 2^k"
-        assert self.capacity > 2 * self.probe_depth, "capacity too small"
+        assert self.capacity % self.probe_depth == 0
+        assert self.capacity >= 2 * self.probe_depth, "capacity too small"
+
+    @property
+    def n_buckets(self) -> int:
+        return self.capacity // self.probe_depth
 
 
 class VoxelHashMap(NamedTuple):
@@ -73,42 +100,90 @@ class VoxelHashMap(NamedTuple):
 
     Beyond the slab of raw points (the iVox equivalent), each voxel keeps
     RUNNING SURFEL MOMENTS over every point ever inserted (not just the
-    slab-capped ones): count, sum, and outer-product sum. These make the
-    per-voxel plane (mean + covariance eigenvector) available without any
-    kNN at query time — the Surfel-LIO-style fast path (PAPERS.md).
+    slab-capped ones): count and sum live in the packed meta row; the
+    outer-product sum in `surf_s2`. These make the per-voxel plane
+    (mean + covariance eigenvector) available without any kNN at query
+    time — the Surfel-LIO-style fast path (PAPERS.md).
+
+    Layout (performance-critical, see module docstring):
+      meta: (B, probe_depth * 8) f32 — packed per-slot rows
+            [kx, ky, kz, stamp, n, s1x, s1y, s1z]; kx == _EMPTY marks a
+            free slot. Slot s lives at bucket s // pd, lane s % pd.
+      counts: (C,) int32 — valid points in each voxel slab
+      slab: (C, max_points * 3) f32 — point slabs, wide rows
+      slab_stamps: (C * max_points,) int32 — insert epoch PER POINT slot
+      surf_s2: (C, 3, 3) f32 — running sum of outer products (voxel-local)
+      epoch: () int32
+
+    Compatibility views (`keys`, `occupied`, `stamps`, `surf_n`,
+    `surf_s1`, `points`, `slot_stamps`) are provided as properties; they
+    materialize full arrays and are meant for cold paths (export, tests,
+    reanchor), not per-scan code.
     """
 
-    keys: jnp.ndarray  # (C, 3) int32 voxel coords
-    occupied: jnp.ndarray  # (C,) bool
-    counts: jnp.ndarray  # (C,) int32 — valid points in each voxel slab
-    points: jnp.ndarray  # (C, S, 3) f32
-    stamps: jnp.ndarray  # (C,) int32 — LRU epoch of last touch
-    slot_stamps: jnp.ndarray  # (C, S) int32 — insert epoch PER POINT slot
+    meta: jnp.ndarray  # (B, pd * 8) f32 packed slot rows
+    counts: jnp.ndarray  # (C,) int32
+    slab: jnp.ndarray  # (C, S * 3) f32
+    slab_stamps: jnp.ndarray  # (C * S,) int32
+    surf_s2: jnp.ndarray  # (C, 3, 3) f32
     epoch: jnp.ndarray  # () int32
-    surf_n: jnp.ndarray  # (C,) f32 — running point count (uncapped)
-    surf_s1: jnp.ndarray  # (C, 3) f32 — running sum of points
-    surf_s2: jnp.ndarray  # (C, 3, 3) f32 — running sum of outer products
+
+    # --- compatibility / cold-path views -------------------------------
+    @property
+    def _meta_slot(self) -> jnp.ndarray:
+        c = self.counts.shape[0]
+        return self.meta.reshape(c, _W)
+
+    @property
+    def keys(self) -> jnp.ndarray:
+        return self._meta_slot[:, 0:3].astype(jnp.int32)
+
+    @property
+    def occupied(self) -> jnp.ndarray:
+        return self._meta_slot[:, 0] != _EMPTY
+
+    @property
+    def stamps(self) -> jnp.ndarray:
+        return self._meta_slot[:, 3].astype(jnp.int32)
+
+    @property
+    def surf_n(self) -> jnp.ndarray:
+        return self._meta_slot[:, 4]
+
+    @property
+    def surf_s1(self) -> jnp.ndarray:
+        return self._meta_slot[:, 5:8]
+
+    @property
+    def points(self) -> jnp.ndarray:
+        c = self.counts.shape[0]
+        return self.slab.reshape(c, -1, 3)
+
+    @property
+    def slot_stamps(self) -> jnp.ndarray:
+        c = self.counts.shape[0]
+        return self.slab_stamps.reshape(c, -1)
 
 
 def make_map(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelHashMap:
-    c, s = cfg.capacity, cfg.max_points
+    c, s, b = cfg.capacity, cfg.max_points, cfg.n_buckets
+    meta = jnp.zeros((b, cfg.probe_depth * _W), dtype=dtype)
+    meta = meta.at[:, 0::_W].set(_EMPTY)
     return VoxelHashMap(
-        keys=jnp.zeros((c, 3), dtype=jnp.int32),
-        occupied=jnp.zeros((c,), dtype=bool),
+        meta=meta,
         counts=jnp.zeros((c,), dtype=jnp.int32),
-        points=jnp.zeros((c, s, 3), dtype=dtype),
-        stamps=jnp.zeros((c,), dtype=jnp.int32),
-        slot_stamps=jnp.zeros((c, s), dtype=jnp.int32),
-        epoch=jnp.zeros((), dtype=jnp.int32),
-        surf_n=jnp.zeros((c,), dtype=dtype),
-        surf_s1=jnp.zeros((c, 3), dtype=dtype),
+        slab=jnp.zeros((c, s * 3), dtype=dtype),
+        slab_stamps=jnp.zeros((c * s,), dtype=jnp.int32),
         surf_s2=jnp.zeros((c, 3, 3), dtype=dtype),
+        epoch=jnp.zeros((), dtype=jnp.int32),
     )
 
 
 def voxel_coord(pts: jnp.ndarray, resolution: float) -> jnp.ndarray:
-    """World position -> integer voxel coordinate (floor)."""
-    return jnp.floor(pts / resolution).astype(jnp.int32)
+    """World position -> integer voxel coordinate (floor), clipped so the
+    coordinate is exactly representable in the f32 meta rows."""
+    v = jnp.floor(pts / resolution)
+    return jnp.clip(v, -_COORD_MAX, _COORD_MAX).astype(jnp.int32)
 
 
 def voxel_corner(vox: jnp.ndarray, resolution: float, dtype=jnp.float32) -> jnp.ndarray:
@@ -118,13 +193,27 @@ def voxel_corner(vox: jnp.ndarray, resolution: float, dtype=jnp.float32) -> jnp.
     return vox.astype(dtype) * resolution
 
 
-def _hash(vox: jnp.ndarray, capacity: int, probe_depth: int) -> jnp.ndarray:
-    """Spatial hash of (..., 3) int voxel coords into
-    [0, capacity - probe_depth): probe windows never wrap, so the whole
-    window is `probe_depth` CONSECUTIVE table rows, loadable with one flat
-    gather and reduced vectorally over the window axis."""
+def _hash(vox: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """Spatial hash of (..., 3) int voxel coords into [0, n_buckets)."""
     h = vox[..., 0] * _HP[0] ^ vox[..., 1] * _HP[1] ^ vox[..., 2] * _HP[2]
-    return (h & 0x7FFFFFFF) % (capacity - probe_depth)
+    return (h & 0x7FFFFFFF) % n_buckets
+
+
+# Second, independent bucket hash: the table is TWO-CHOICE (each voxel may
+# live in either of two buckets). Aligned single-bucket hashing drops ~1-2%
+# of voxels to local clustering at realistic loads; two-choice placement
+# reduces the max bucket load to ~ln ln n (power of two choices) for the
+# price of one extra 256-byte row gather per probe.
+_HP2 = (40503, 1610612741, 179424673)
+
+
+def _hash2(vox: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    h = (
+        vox[..., 0] * _HP2[0]
+        ^ vox[..., 1] * _HP2[1]
+        ^ vox[..., 2] * _HP2[2]
+    )
+    return (h & 0x7FFFFFFF) % n_buckets
 
 
 # Independent prime set for the shard-ownership hash: must be uncorrelated
@@ -150,66 +239,157 @@ def owner_of(vox: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     return (h & 0x7FFFFFFF) % n_shards
 
 
+class ProbeRows(NamedTuple):
+    """Result of one batched bucket probe (everything from ONE gather)."""
+
+    found: jnp.ndarray  # (N,) slot holding exactly this voxel, or -1
+    cand: jnp.ndarray  # (N,) insertion candidate slot (empty or LRU-oldest)
+    n: jnp.ndarray  # (N,) surfel moment count of the FOUND slot (0 if miss)
+    s1: jnp.ndarray  # (N, 3) surfel moment sum of the found slot (local)
+    stamp: jnp.ndarray  # (N,) LRU stamp of the found slot
+
+
+def probe_rows(
+    m: VoxelHashMap, vox: jnp.ndarray, cfg: VoxelMapConfig
+) -> ProbeRows:
+    """Bucket probe for a batch of voxel coords: ONE contiguous row gather
+    per query (256 B: all `probe_depth` slots' packed metadata), then a
+    vectorized lane reduction. Returns the found/candidate slots plus the
+    found slot's surfel moments — no follow-up gathers needed for the
+    surfel lookup path.
+    """
+    pd = cfg.probe_depth
+    nb = cfg.n_buckets
+    b1 = _hash(vox, nb)
+    b2 = _hash2(vox, nb)
+    # Two gathers of one contiguous 256-byte bucket row each (two-choice).
+    rows1 = m.meta[b1].reshape(-1, pd, _W)
+    rows2 = m.meta[b2].reshape(-1, pd, _W)
+    w = jnp.concatenate([rows1, rows2], axis=1)  # (N, 2*pd, 8)
+    nl = 2 * pd
+    vox_f = vox.astype(m.meta.dtype)
+
+    lane = jnp.arange(nl, dtype=jnp.int32)
+    # lane -> global slot id
+    slot_of_lane = jnp.where(
+        lane[None, :] < pd,
+        b1[:, None] * pd + lane[None, :],
+        b2[:, None] * pd + (lane[None, :] - pd),
+    )
+
+    match = jnp.all(w[..., 0:3] == vox_f[:, None, :], axis=-1) & (
+        w[..., 0] != _EMPTY
+    )
+    first_match = jnp.min(jnp.where(match, lane[None, :], nl), axis=1)
+    has = first_match < nl
+    lane_c = jnp.minimum(first_match, nl - 1)
+    found = jnp.where(
+        has, jnp.take_along_axis(slot_of_lane, lane_c[:, None], axis=1)[:, 0], -1
+    )
+
+    empty = w[..., 0] == _EMPTY
+    # TRUE two-choice placement: claim into the EMPTIER of the two buckets
+    # (power-of-two-choices balance); within it, its first empty lane.
+    # Falls back to the globally LRU-oldest lane when both buckets are full.
+    n_empty1 = jnp.sum(empty[:, :pd], axis=1)
+    n_empty2 = jnp.sum(empty[:, pd:], axis=1)
+    use2 = n_empty2 > n_empty1
+    in_choice = jnp.where(use2[:, None], lane[None, :] >= pd, lane[None, :] < pd)
+    first_empty = jnp.min(
+        jnp.where(empty & in_choice, lane[None, :], nl), axis=1
+    )
+    oldest = jnp.argmin(w[..., 3], axis=1).astype(jnp.int32)
+    cand_lane = jnp.where(first_empty < nl, first_empty, oldest)
+    cand = jnp.take_along_axis(
+        slot_of_lane, cand_lane[:, None], axis=1
+    )[:, 0]
+
+    row_f = jnp.take_along_axis(w, lane_c[:, None, None], axis=1)[:, 0, :]
+    n = jnp.where(has, row_f[:, 4], 0.0)
+    s1 = jnp.where(has[:, None], row_f[:, 5:8], 0.0)
+    stamp = jnp.where(has, row_f[:, 3], 0.0)
+    return ProbeRows(found=found, cand=cand, n=n, s1=s1, stamp=stamp)
+
+
 def probe(
     m: VoxelHashMap, vox: jnp.ndarray, cfg: VoxelMapConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Linear-probe lookup for a batch of voxel coords.
+    """Compatibility wrapper: (found, cand) slots for a batch of voxels."""
+    r = probe_rows(m, vox, cfg)
+    return r.found, r.cand
 
-    The probe window is `probe_depth` CONSECUTIVE rows (the hash range is
-    shrunk so windows never wrap): the whole window loads with one flat
-    native gather per arena column, and the found/candidate selection is
-    vectorized over the window axis (the original fori_loop issued
-    probe_depth SEQUENTIAL gathers).
 
-    Returns (found, cand):
-      found: (N,) slot holding exactly this voxel, or -1
-      cand:  (N,) insertion candidate — first empty slot in the window, or
-             (if the window is full) the oldest-stamped slot (LRU eviction
-             target, parity with iVox's LRU cache ivox3d.h:271-274).
+class VoxelDedup(NamedTuple):
+    """Per-scan unique-voxel table + the sort that built it (the sort is
+    shared by the insert's slab-rank pass, so it runs ONCE per scan)."""
+
+    uvox: jnp.ndarray  # (cap, 3) int32 unique voxel coords
+    uvalid: jnp.ndarray  # (cap,) bool
+    inv: jnp.ndarray  # (n,) int32 point -> unique row (== cap on miss)
+    order: jnp.ndarray  # (n,) int32 sort permutation (points by voxel)
+    seg: jnp.ndarray  # (n,) int32 segment id per SORTED position (cap=invalid)
+
+
+def unique_voxels(
+    vox: jnp.ndarray, mask: jnp.ndarray, cap: int
+) -> VoxelDedup:
+    """Deduplicate (N, 3) voxel coords into a static-size unique table.
+
+    uvox[inv[i]] is point i's voxel; inv == cap for masked-out points and
+    for points whose voxel fell beyond the cap (callers treat those as
+    lookup misses). Sort-based (one lexsort + segment scan), same
+    machinery as ops.voxelize.voxel_downsample.
     """
-    pd = cfg.probe_depth
-    h0 = _hash(vox, cfg.capacity, pd)
-
-    # One flat advanced-index gather per arena column. This lowers to
-    # XLA's NATIVE gather (~7 ns/row measured on v5e via the profiler);
-    # the tempting alternatives do not: lax.gather with
-    # slice_sizes=(pd, ...) and vmapped dynamic_slice both get lowered to
-    # SERIALIZED while loops of dynamic-slice/dynamic-update-slice on this
-    # XLA version (measured 100-300 ms per 65k-query probe).
-    idx = h0[:, None] + jnp.arange(pd, dtype=jnp.int32)[None, :]
-    keys_w = m.keys[idx]  # (N, pd, 3)
-    occ_w = m.occupied[idx]  # (N, pd)
-    st_w = m.stamps[idx]  # (N, pd)
-
-    pd_idx = jnp.arange(pd, dtype=jnp.int32)
-    match = occ_w & jnp.all(keys_w == vox[:, None, :], axis=-1)
-    first_match = jnp.min(jnp.where(match, pd_idx[None, :], pd), axis=1)
-    found = jnp.where(first_match < pd, h0 + first_match, -1)
-    first_empty = jnp.min(jnp.where(~occ_w, pd_idx[None, :], pd), axis=1)
-    # Oldest-stamped window slot (first index wins ties, like the loop).
-    oldest_off = jnp.argmin(st_w, axis=1).astype(jnp.int32)
-    cand = jnp.where(
-        first_empty < pd, h0 + first_empty, h0 + oldest_off
+    n = vox.shape[0]
+    vox_m = jnp.where(mask[:, None], vox, jnp.iinfo(jnp.int32).max)
+    order = jnp.lexsort((vox_m[:, 2], vox_m[:, 1], vox_m[:, 0])).astype(
+        jnp.int32
     )
-    return found, cand
+    vox_s = vox_m[order]
+    mask_s = mask[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(vox_s[1:] != vox_s[:-1], axis=-1)]
+    ) & mask_s
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg = jnp.where(mask_s & (seg >= 0) & (seg < cap), seg, cap)
+    uvox = jnp.zeros((cap, 3), jnp.int32).at[seg].set(vox_s, mode="drop")
+    uvalid = jnp.zeros((cap,), bool).at[seg].set(True, mode="drop")
+    inv = jnp.full((n,), cap, jnp.int32).at[order].set(seg)
+    return VoxelDedup(uvox=uvox, uvalid=uvalid, inv=inv, order=order, seg=seg)
 
 
-def _segment_ranks(slots: jnp.ndarray) -> jnp.ndarray:
-    """Within-group rank of each element among equal slot ids (order-stable).
-
-    Sort by slot id; rank = position - start-of-segment; invert the sort.
-    """
-    n = slots.shape[0]
-    order = jnp.argsort(slots, stable=True)
-    sorted_slots = slots[order]
+def _dedup_ranks(dedup: VoxelDedup, ok: jnp.ndarray) -> jnp.ndarray:
+    """Within-voxel rank of each point among the `ok` points of its voxel
+    (original order), reusing the dedup's sort — no extra sort pass."""
+    n = ok.shape[0]
+    ok_s = ok[dedup.order]
     idx = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_slots[1:] != sorted_slots[:-1]]
+        [jnp.ones((1,), bool), dedup.seg[1:] != dedup.seg[:-1]]
     )
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
-    ranks_sorted = idx - seg_start
-    ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted)
-    return ranks
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0)
+    )
+    excl = jnp.cumsum(ok_s.astype(jnp.int32)) - ok_s.astype(jnp.int32)
+    rank_s = excl - excl[start_pos]
+    return jnp.zeros((n,), jnp.int32).at[dedup.order].set(rank_s)
+
+
+def _pack_rows(vox_f, stamp, n, s1):
+    """Assemble packed meta rows [kx, ky, kz, stamp, n, s1x, s1y, s1z]."""
+    return jnp.concatenate(
+        [vox_f, stamp[:, None], n[:, None], s1], axis=1
+    )
+
+
+def _scatter_slot_rows(meta: jnp.ndarray, slots: jnp.ndarray, rows: jnp.ndarray):
+    """Scatter full 8-word slot rows into the bucketed meta table via the
+    (C, 8) reshape view (out-of-range slots drop)."""
+    b, wide = meta.shape
+    c = b * wide // _W
+    return (
+        meta.reshape(c, _W).at[slots].set(rows, mode="drop").reshape(b, wide)
+    )
 
 
 def insert(
@@ -217,21 +397,24 @@ def insert(
     pts: jnp.ndarray,
     mask: jnp.ndarray,
     cfg: VoxelMapConfig,
-    dedup: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    dedup: VoxelDedup | None = None,
 ) -> VoxelHashMap:
     """Batched map insert (replaces IVox::AddPoints, ivox3d.h:256-281).
 
-    Three phases, all static-shape:
-      1. claim: unresolved voxels race for hash slots over `claim_rounds`
-         rounds; scatter-min arbitrates; losers re-probe (their probe then
-         sees the winner's key). New/evicted slots reset. With
-         cfg.lookup_unique_cap the claim/probe rounds run per UNIQUE scan
-         voxel (5-15x fewer probe rows; pass a precomputed `dedup` triple
-         from `unique_voxels` to share the sort with other phases).
-      2. rank: points targeting the same voxel get conflict-free slab
-         offsets via a stable sort + segment-rank pass.
-      3. scatter: one scatter writes all points; one scatter-add updates
-         counts; stamps refresh to the current epoch (LRU touch).
+    Phases, all static-shape and dedup-driven (ONE sort per scan, shared
+    with the insert gate via the `dedup` argument):
+      1. probe: one bucket-row gather per unique scan voxel.
+      2. claim (only if some voxel is unmapped — `lax.cond` skips the whole
+         phase otherwise): unresolved voxels race for bucket slots;
+         scatter-min arbitrates; losers re-probe over a bounded while_loop.
+         Claimed slots get fresh meta rows; their slab counts and s2
+         moments reset after the loop.
+      3. slab: per-point ranks from the shared sort give conflict-free
+         wide-row scatter destinations; counts bump per unique voxel.
+      4. moments: per-voxel deltas via segment-sums over the shared sort
+         (no duplicate-index scatter-adds), then ONE packed-row scatter
+         refreshes stamp + n + s1 for every touched voxel; s2 updates with
+         a 16k-row gather/compute/scatter.
 
     Points that exceed a voxel's slab capacity are dropped (the scan was
     voxel-downsampled first, so slabs hold multi-scan history like iVox).
@@ -239,128 +422,173 @@ def insert(
     (same overflow semantics as the lookups).
     """
     n = pts.shape[0]
+    c, s = cfg.capacity, cfg.max_points
+    dtype = m.meta.dtype
     vox = voxel_coord(pts, cfg.resolution)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    cap_u = cfg.lookup_unique_cap
-    use_dedup = bool(cap_u) and (cap_u < n or dedup is not None)
+    cap_u = cfg.lookup_unique_cap or n
+    cap_u = min(cap_u, n)
+    if dedup is None:
+        dedup = unique_voxels(vox, mask, cap_u)
+    uvox, inv = dedup.uvox, dedup.inv
+    u = uvox.shape[0]
+    # A shared dedup may have been built with a WIDER mask (the gate's) —
+    # only voxels holding at least one point accepted by THIS mask may
+    # claim slots or accumulate moments.
+    uvalid = jnp.zeros((u,), bool).at[
+        jnp.where(mask & (inv < u), inv, u)
+    ].set(True, mode="drop")
+    uids = jnp.arange(u, dtype=jnp.int32)
+    epoch_f = m.epoch.astype(dtype)
+    uvox_f = uvox.astype(dtype)
 
-    if use_dedup:
-        if dedup is None:
-            dedup = unique_voxels(vox, mask, cap_u)
-        uvox, _, inv = dedup
-        u = uvox.shape[0]
-        # A shared dedup may have been built with a WIDER mask (the gate's)
-        # — only voxels holding at least one point accepted by THIS mask
-        # may claim slots (the per-point path claims only masked points).
-        uvalid = jnp.zeros((u,), bool).at[
-            jnp.where(mask & (inv < u), inv, u)
-        ].set(True, mode="drop")
-        uids = jnp.arange(u, dtype=jnp.int32)
+    pr = probe_rows(m, uvox, cfg)
+    need0 = uvalid & (pr.found < 0)
 
-        def claim_round(_, m):
-            found, cand = probe(m, uvox, cfg)
-            need = uvalid & (found < 0)
-            # Arbitrate: lowest unique-id wins each contested slot.
-            claim = jnp.full((cfg.capacity,), INT32_MAX, dtype=jnp.int32)
-            claim = claim.at[jnp.where(need, cand, cfg.capacity)].min(
-                uids, mode="drop"
-            )
-            winner = need & (claim[cand] == uids)
-            wslot = jnp.where(winner, cand, cfg.capacity)
-            keys = m.keys.at[wslot].set(uvox, mode="drop")
-            occupied = m.occupied.at[wslot].set(True, mode="drop")
-            counts = m.counts.at[wslot].set(0, mode="drop")
-            stamps = m.stamps.at[wslot].set(m.epoch, mode="drop")
-            surf_n = m.surf_n.at[wslot].set(0.0, mode="drop")
-            surf_s1 = m.surf_s1.at[wslot].set(0.0, mode="drop")
-            surf_s2 = m.surf_s2.at[wslot].set(0.0, mode="drop")
-            return m._replace(
-                keys=keys, occupied=occupied, counts=counts, stamps=stamps,
-                surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
-            )
-
-        m = jax.lax.fori_loop(0, cfg.claim_rounds, claim_round, m)
-        found_u, _ = probe(m, uvox, cfg)
-        inv_c = jnp.minimum(inv, uvox.shape[0] - 1)
-        found = jnp.where(inv < uvox.shape[0], found_u[inv_c], -1)
-        ok = mask & (found >= 0)
-    else:
-
-        def claim_round(_, m):
-            found, cand = probe(m, vox, cfg)
-            need = mask & (found < 0)
-            # Arbitrate: lowest point-id wins each contested candidate slot.
-            claim = jnp.full((cfg.capacity,), INT32_MAX, dtype=jnp.int32)
-            claim = claim.at[jnp.where(need, cand, cfg.capacity)].min(
-                ids, mode="drop"
-            )
-            winner = need & (claim[cand] == ids)
-            wslot = jnp.where(winner, cand, cfg.capacity)
-            keys = m.keys.at[wslot].set(vox, mode="drop")
-            occupied = m.occupied.at[wslot].set(True, mode="drop")
-            counts = m.counts.at[wslot].set(0, mode="drop")  # reset on claim
-            stamps = m.stamps.at[wslot].set(m.epoch, mode="drop")
-            surf_n = m.surf_n.at[wslot].set(0.0, mode="drop")
-            surf_s1 = m.surf_s1.at[wslot].set(0.0, mode="drop")
-            surf_s2 = m.surf_s2.at[wslot].set(0.0, mode="drop")
-            return m._replace(
-                keys=keys, occupied=occupied, counts=counts, stamps=stamps,
-                surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
-            )
-
-        m = jax.lax.fori_loop(0, cfg.claim_rounds, claim_round, m)
-        found, _ = probe(m, vox, cfg)
-        ok = mask & (found >= 0)
-    slot = jnp.where(ok, found, cfg.capacity)  # out-of-range -> dropped
-
-    ranks = _segment_ranks(jnp.where(ok, found, -1 - ids))  # unique ids for invalid
-    dest = m.counts[jnp.clip(slot, 0, cfg.capacity - 1)] + ranks
-    ok = ok & (dest < cfg.max_points)
-    slot = jnp.where(ok, slot, cfg.capacity)
-
-    dest_c = jnp.clip(dest, 0, cfg.max_points - 1)
-    points = m.points.at[slot, dest_c].set(pts, mode="drop")
-    # Per-point insert epoch: exact segment attribution for reanchor (a
-    # revisited voxel's slab holds points registered under DIFFERENT poses;
-    # a per-voxel stamp would move the whole slab by the newest segment's
-    # correction — measured up to the full drift magnitude of error on the
-    # early points).
-    slot_stamps = m.slot_stamps.at[slot, dest_c].set(m.epoch, mode="drop")
-    added = jnp.zeros((cfg.capacity,), jnp.int32).at[slot].add(
-        ok.astype(jnp.int32), mode="drop"
-    )
-    counts = jnp.minimum(m.counts + added, cfg.max_points)
-    stamps = m.stamps.at[slot].set(m.epoch, mode="drop")
-
-    # Surfel moments accumulate EVERY accepted-voxel point (even beyond the
-    # slab cap): the per-voxel plane keeps refining with history. Moments
-    # are kept in voxel-LOCAL coordinates — with world coordinates the
-    # covariance subtraction cancels catastrophically in f32 (|p|^2 ~ 1e2+
-    # vs plane-thickness variance ~1e-4).
-    surf_slot = jnp.where(mask & (found >= 0), found, cfg.capacity)
-    w = (surf_slot < cfg.capacity).astype(pts.dtype)
-    if cfg.surfel_freeze_n > 0.0:
-        n_cur = m.surf_n[jnp.clip(surf_slot, 0, cfg.capacity - 1)]
-        w = w * jnp.clip(1.0 - n_cur / cfg.surfel_freeze_n, 0.0, 1.0)
-    pts_l = pts - voxel_corner(vox, cfg.resolution, pts.dtype)
-    surf_n, surf_s1, surf_s2 = m.surf_n, m.surf_s1, m.surf_s2
-    if cfg.surfel_decay < 1.0:
-        touched = jnp.zeros((cfg.capacity,), bool).at[surf_slot].set(
-            True, mode="drop"
+    def claim_phase(meta):
+        fresh_rows = _pack_rows(
+            uvox_f,
+            jnp.full((u,), 0.0, dtype) + epoch_f,
+            jnp.zeros((u,), dtype),
+            jnp.zeros((u, 3), dtype),
         )
-        g = jnp.where(touched, jnp.asarray(cfg.surfel_decay, pts.dtype), 1.0)
-        surf_n = surf_n * g
-        surf_s1 = surf_s1 * g[:, None]
-        surf_s2 = surf_s2 * g[:, None, None]
-    surf_n = surf_n.at[surf_slot].add(w, mode="drop")
-    surf_s1 = surf_s1.at[surf_slot].add(pts_l * w[:, None], mode="drop")
-    surf_s2 = surf_s2.at[surf_slot].add(
-        pts_l[:, :, None] * pts_l[:, None, :] * w[:, None, None], mode="drop"
+
+        def claim_round(meta, found, cand, need):
+            claim = jnp.full((c,), INT32_MAX, dtype=jnp.int32)
+            claim = claim.at[jnp.where(need, cand, c)].min(uids, mode="drop")
+            winner = need & (claim[cand] == uids)
+            wslot = jnp.where(winner, cand, c)
+            meta = _scatter_slot_rows(meta, wslot, fresh_rows)
+            return meta
+
+        meta = claim_round(meta, pr.found, pr.cand, need0)
+
+        def cond_fn(carry):
+            _, need_any, round_i = carry
+            return need_any & (round_i < cfg.claim_rounds)
+
+        def body_fn(carry):
+            meta, _, round_i = carry
+            m2 = m._replace(meta=meta)
+            found, cand = probe(m2, uvox, cfg)
+            need = uvalid & (found < 0)
+            meta = claim_round(meta, found, cand, need)
+            return meta, jnp.any(need), round_i + 1
+
+        meta, _, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (meta, jnp.any(need0), jnp.ones((), jnp.int32))
+        )
+        return meta
+
+    meta = jax.lax.cond(jnp.any(need0), claim_phase, lambda mm: mm, m.meta)
+    m1 = m._replace(meta=meta)
+
+    # Final resolve: where did every unique voxel land?
+    pr2 = probe_rows(m1, uvox, cfg)
+    found_u = jnp.where(uvalid, pr2.found, -1)
+    has_u = found_u >= 0
+    slot_u = jnp.where(has_u, found_u, c)  # out-of-range -> dropped
+
+    # Freshly-claimed slots: reset slab count and s2 moments. A slot is
+    # fresh iff its stored moment count is zero AND it was claimed (probe
+    # row written this epoch with n=0). Pre-existing slots always have
+    # n > 0 (every claim is followed by a moment update below).
+    fresh_u = has_u & (pr2.n == 0.0)
+    fresh_slot = jnp.where(fresh_u, found_u, c)
+    counts = m.counts.at[fresh_slot].set(0, mode="drop")
+    surf_s2 = m.surf_s2.at[fresh_slot].set(0.0, mode="drop")
+
+    # ---- slab phase: conflict-free destinations from the shared sort.
+    ok = mask & (inv < u) & has_u[jnp.minimum(inv, u - 1)]
+    ranks = _dedup_ranks(dedup, ok)
+    inv_c = jnp.minimum(inv, u - 1)
+    cnt_base = counts[jnp.minimum(slot_u, c - 1)][inv_c]  # (n,)
+    dest = cnt_base + ranks
+    ok = ok & (dest < s)
+    slot_pt = jnp.where(ok, found_u[inv_c], c)
+    dest_c = jnp.clip(dest, 0, s - 1)
+    col = dest_c[:, None] * 3 + jnp.arange(3, dtype=jnp.int32)[None, :]
+    slab = m.slab.at[slot_pt[:, None], col].set(
+        jnp.where(ok[:, None], pts, 0.0), mode="drop"
     )
+    # Per-point insert epoch: exact segment attribution for reanchor (a
+    # revisited voxel's slab holds points registered under DIFFERENT
+    # poses; a per-voxel stamp would move the whole slab by the newest
+    # segment's correction).
+    fs = jnp.where(ok, slot_pt * s + dest_c, c * s)
+    slab_stamps = m.slab_stamps.at[fs].set(m.epoch, mode="drop")
+
+    # Per-voxel accepted-point counts via segment-sum over the shared sort
+    # (a duplicate-index scatter-add serializes on TPU — no atomics).
+    ok_s2 = ok[dedup.order]
+    added_u = jax.ops.segment_sum(
+        ok_s2.astype(jnp.int32),
+        jnp.where(ok_s2, dedup.seg, u),
+        num_segments=u + 1,
+    )[:u]
+    counts = counts.at[slot_u].set(
+        jnp.minimum(counts[jnp.minimum(slot_u, c - 1)] + added_u, s),
+        mode="drop",
+    )
+
+    # ---- moment phase: segment-sum deltas over the shared sort. Moments
+    # accumulate EVERY accepted-voxel point (even beyond the slab cap) in
+    # voxel-LOCAL coordinates — with world coordinates the covariance
+    # subtraction cancels catastrophically in f32 (|p|^2 ~ 1e2+ vs
+    # plane-thickness variance ~1e-4).
+    mok = mask & (inv < u)  # moment contributors (slab overflow included)
+    mok_s = mok[dedup.order]
+    pts_s = pts[dedup.order]
+    vox_s = vox[dedup.order]
+    pts_l = jnp.where(
+        mok_s[:, None],
+        pts_s - voxel_corner(vox_s, cfg.resolution, dtype),
+        0.0,
+    )
+    seg_c = jnp.where(mok_s, dedup.seg, u)
+    d_n = jax.ops.segment_sum(
+        mok_s.astype(dtype), seg_c, num_segments=u + 1
+    )[:u]
+    d_s1 = jax.ops.segment_sum(pts_l, seg_c, num_segments=u + 1)[:u]
+    d_s2 = jax.ops.segment_sum(
+        pts_l[:, :, None] * pts_l[:, None, :], seg_c, num_segments=u + 1
+    )[:u]
+
+    n_old = jnp.where(fresh_u, 0.0, pr2.n)
+    s1_old = jnp.where(fresh_u[:, None], 0.0, pr2.s1)
+    s2_old = jnp.where(
+        fresh_u[:, None, None],
+        0.0,
+        m.surf_s2[jnp.minimum(slot_u, c - 1)],
+    )
+    g = jnp.asarray(cfg.surfel_decay, dtype)
+    if cfg.surfel_freeze_n > 0.0:
+        f = jnp.clip(1.0 - n_old / cfg.surfel_freeze_n, 0.0, 1.0)
+    else:
+        f = jnp.ones((u,), dtype)
+    touched = has_u & (d_n > 0)
+    n_new = jnp.where(touched, g * n_old + f * d_n, n_old)
+    s1_new = jnp.where(
+        touched[:, None], g * s1_old + f[:, None] * d_s1, s1_old
+    )
+    s2_new = jnp.where(
+        touched[:, None, None], g * s2_old + f[:, None, None] * d_s2, s2_old
+    )
+
+    # ONE packed-row scatter refreshes stamp (LRU touch) + n + s1 for every
+    # resolved unique voxel.
+    rows = _pack_rows(
+        uvox_f, jnp.broadcast_to(epoch_f, (u,)), n_new, s1_new
+    )
+    meta = _scatter_slot_rows(meta, slot_u, rows)
+    surf_s2 = surf_s2.at[slot_u].set(s2_new, mode="drop")
+
     return m._replace(
-        points=points, counts=counts, stamps=stamps, slot_stamps=slot_stamps,
+        meta=meta,
+        counts=counts,
+        slab=slab,
+        slab_stamps=slab_stamps,
+        surf_s2=surf_s2,
         epoch=m.epoch + 1,
-        surf_n=surf_n, surf_s1=surf_s1, surf_s2=surf_s2,
     )
 
 
@@ -428,7 +656,7 @@ def knn(
         has = found >= 0
         slot = jnp.clip(found, 0, cfg.capacity - 1)
         cnt = jnp.where(has, m.counts[slot], 0)  # (N,)
-        cand = m.points[slot]  # (N, S, 3)
+        cand = m.slab[slot].reshape(n, s, 3)  # one wide-row gather
         cand_valid = slot_arange[None, :] < cnt[:, None]  # (N, S)
         d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(cand_valid, d2, jnp.inf)
@@ -443,33 +671,6 @@ def knn(
     return best_pts, best_d2, valid
 
 
-def unique_voxels(
-    vox: jnp.ndarray, mask: jnp.ndarray, cap: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Deduplicate (N, 3) voxel coords into a static-size unique table.
-
-    Returns (uvox (cap, 3), uvalid (cap,), inv (N,)): uvox[inv[i]] is
-    point i's voxel; inv == cap for masked-out points and for points whose
-    voxel fell beyond the cap (callers treat those as lookup misses).
-    Sort-based (one lexsort + segment scan), same machinery as
-    ops.voxelize.voxel_downsample.
-    """
-    n = vox.shape[0]
-    vox_m = jnp.where(mask[:, None], vox, jnp.iinfo(jnp.int32).max)
-    order = jnp.lexsort((vox_m[:, 2], vox_m[:, 1], vox_m[:, 0]))
-    vox_s = vox_m[order]
-    mask_s = mask[order]
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.any(vox_s[1:] != vox_s[:-1], axis=-1)]
-    ) & mask_s
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    seg = jnp.where(mask_s & (seg >= 0) & (seg < cap), seg, cap)
-    uvox = jnp.zeros((cap, 3), jnp.int32).at[seg].set(vox_s, mode="drop")
-    uvalid = jnp.zeros((cap,), bool).at[seg].set(True, mode="drop")
-    inv = jnp.full((n,), cap, jnp.int32).at[order].set(seg)
-    return uvox, uvalid, inv
-
-
 def slab_insert_gate(
     m: VoxelHashMap,
     pts_world: jnp.ndarray,
@@ -477,7 +678,7 @@ def slab_insert_gate(
     cfg: VoxelMapConfig,
     filter_size_map: float,
     k_full: int = 5,
-    dedup: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    dedup: VoxelDedup | None = None,
 ) -> jnp.ndarray:
     """Map-insert gate from the point's OWN voxel slab (no kNN).
 
@@ -485,32 +686,29 @@ def slab_insert_gate(
     (laser_mapping.cpp:344-380) — no neighbors / nearest neighbor outside
     the point's filter-voxel / no stored point closer to the filter-voxel
     center — but the neighbor set is the point's map-voxel slab instead of
-    a 19-voxel kNN: ONE probe + ONE sliced slab gather for the whole scan.
-    Near map-voxel boundaries a closer neighbor in the adjacent voxel is
-    missed (resolution >> filter_size_map, so this is rare) and the point
-    is inserted anyway — a few extra near-duplicates, bounded by the slab
-    cap; the kNN gate cost ~20 probe+slab passes per scan for the same
-    decision. Used by the surfel pipeline (the p2pl path reuses the
-    iterated update's own kNN cache at zero extra cost)."""
+    a 19-voxel kNN: ONE bucket probe per unique voxel + ONE wide slab-row
+    gather per point for the whole scan. Near map-voxel boundaries a
+    closer neighbor in the adjacent voxel is missed (resolution >>
+    filter_size_map, so this is rare) and the point is inserted anyway —
+    a few extra near-duplicates, bounded by the slab cap. Used by the
+    surfel pipeline (the p2pl path reuses the iterated update's own kNN
+    cache at zero extra cost)."""
     n = pts_world.shape[0]
+    s = cfg.max_points
     vox = voxel_coord(pts_world, cfg.resolution)
-    cap_u = cfg.lookup_unique_cap
-    if cap_u and (cap_u < n or dedup is not None):
-        # Probe once per unique voxel (pass `dedup` to share the sort with
-        # the insert that follows).
-        if dedup is None:
-            dedup = unique_voxels(vox, pts_mask, cap_u)
-        uvox, _, inv = dedup
-        found_u, _ = probe(m, uvox, cfg)
-        inv_c = jnp.minimum(inv, uvox.shape[0] - 1)
-        found = jnp.where(inv < uvox.shape[0], found_u[inv_c], -1)
-    else:
-        found, _ = probe(m, vox, cfg)
+    cap_u = cfg.lookup_unique_cap or n
+    cap_u = min(cap_u, n)
+    if dedup is None:
+        dedup = unique_voxels(vox, pts_mask, cap_u)
+    u = dedup.uvox.shape[0]
+    found_u, _ = probe(m, dedup.uvox, cfg)
+    inv_c = jnp.minimum(dedup.inv, u - 1)
+    found = jnp.where(dedup.inv < u, found_u[inv_c], -1)
     has = found >= 0
     slot = jnp.clip(found, 0, cfg.capacity - 1)
     cnt = jnp.where(has, m.counts[slot], 0)
-    slab = m.points[slot]  # (N, S, 3)
-    valid = jnp.arange(cfg.max_points, dtype=jnp.int32)[None, :] < cnt[:, None]
+    slab = m.slab[slot].reshape(n, s, 3)  # one wide-row gather
+    valid = jnp.arange(s, dtype=jnp.int32)[None, :] < cnt[:, None]
 
     center = (
         jnp.floor(pts_world / filter_size_map) + 0.5
@@ -548,6 +746,61 @@ class SurfelResult(NamedTuple):
     n_pts: jnp.ndarray  # (N,) accumulated moment count of the voxel
 
 
+class _StencilWin(NamedTuple):
+    """Winner of a stencil candidate pass, with its moments in-register
+    (no per-slot follow-up gathers needed except surf_s2)."""
+
+    d2: jnp.ndarray  # (N,) distance point/center -> winner mean
+    slot: jnp.ndarray  # (N,) winner slot (clipped; use `has`)
+    has: jnp.ndarray  # (N,) bool
+    n: jnp.ndarray  # (N,) winner moment count
+    mean: jnp.ndarray  # (N, 3) winner mean in WORLD coords
+    mean_l: jnp.ndarray  # (N, 3) winner mean in voxel-local coords
+
+
+def _stencil_candidate(
+    m: VoxelHashMap,
+    vox_q: jnp.ndarray,
+    ref_pts: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    min_points: float,
+    dtype,
+) -> _StencilWin:
+    """Per-query stencil probe + nearest-valid-mean winner. ONE bucket-row
+    gather per stencil voxel delivers keys, moments count and mean —
+    the winner selection runs entirely in registers."""
+    n = vox_q.shape[0]
+    offs = jnp.asarray(nearby_offsets(6), jnp.int32)  # (7, 3)
+    n_off = offs.shape[0]
+    vox_all = (vox_q[None, :, :] + offs[:, None, None, :]).reshape(-1, 3)
+    pr = probe_rows(m, vox_all, cfg)  # (7N,)
+    cnt = pr.n
+    ok = (cnt >= min_points) & (pr.found >= 0) & jnp.tile(valid_q, n_off)
+    # moments are voxel-local; reconstruct the world mean
+    mean_l = pr.s1 / jnp.maximum(cnt, 1.0)[:, None]
+    mean = mean_l + voxel_corner(vox_all, cfg.resolution, dtype)
+    d2 = jnp.sum((mean.reshape(n_off, n, 3) - ref_pts[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(ok.reshape(n_off, n), d2, jnp.inf)  # (7, N)
+    # Winner = nearest valid mean; first offset wins ties (same order as
+    # the sequential-scan formulation: strict < keeps the earlier offset).
+    best_off = jnp.argmin(d2, axis=0)  # (N,)
+    take = lambda a: jnp.take_along_axis(
+        a.reshape(n_off, n, -1), best_off[None, :, None], axis=0
+    )[0]
+    best_d2 = take(d2[..., None])[:, 0]
+    best_slot = take(pr.found[:, None].astype(jnp.int32))[:, 0]
+    has = jnp.isfinite(best_d2)
+    return _StencilWin(
+        d2=best_d2,
+        slot=jnp.where(has, best_slot, 0),
+        has=has,
+        n=take(cnt[:, None])[:, 0],
+        mean=take(mean),
+        mean_l=take(mean_l),
+    )
+
+
 def surfel_candidate(
     m: VoxelHashMap,
     queries: jnp.ndarray,
@@ -559,74 +812,81 @@ def surfel_candidate(
 
     Returns (best_d2, best_slot, has). Probes only THIS arena — under map
     sharding each device calls this on its local shard and the results are
-    merged across devices by min best_d2 (parallel.sharded_surfel_lookup).
+    merged across devices by min best_d2 (sharded_surfel_lookup).
     """
+    win = _surfel_win(m, queries, cfg, min_points)
+    return win.d2, win.slot, win.has
+
+
+def _surfel_win(
+    m: VoxelHashMap,
+    queries: jnp.ndarray,
+    cfg: VoxelMapConfig,
+    min_points: float,
+) -> Tuple[_StencilWin, jnp.ndarray] | _StencilWin:
     n = queries.shape[0]
     dtype = queries.dtype
     vox_q = voxel_coord(queries, cfg.resolution)
-
     cap = cfg.lookup_unique_cap
     if cap and cap < n:
         # Dedup path: a 65k-point scan occupies only ~3-10k distinct map
         # voxels, and every point in a voxel would probe the SAME stencil
-        # — probe once per unique voxel and map results back with one row
-        # gather. The winner among the stencil's candidates is chosen by
-        # distance from the VOXEL CENTER (per-voxel) instead of from each
-        # query point (per-point); candidates' means are >= one resolution
-        # apart, so the choice only differs for points near voxel borders
-        # (agreement-tested; overall ATE unchanged on the e2e suites).
-        uvox, uvalid, inv = unique_voxels(vox_q, jnp.ones((n,), bool), cap)
-        ucenter = voxel_corner(uvox, cfg.resolution, dtype) + 0.5 * cfg.resolution
-        ud2, uslot, uhas = _stencil_candidate(
-            m, uvox, ucenter, uvalid, cfg, min_points, dtype
+        # — probe once per unique voxel. The winner among the stencil's
+        # candidates is chosen by distance from the VOXEL CENTER
+        # (per-voxel) instead of from each query point (per-point);
+        # candidates' means are >= one resolution apart, so the choice
+        # only differs for points near voxel borders (agreement-tested;
+        # overall ATE unchanged on the e2e suites).
+        dd = unique_voxels(vox_q, jnp.ones((n,), bool), cap)
+        ucenter = (
+            voxel_corner(dd.uvox, cfg.resolution, dtype) + 0.5 * cfg.resolution
         )
-        inv_c = jnp.minimum(inv, cap - 1)
-        ok = inv < cap
-        has = ok & uhas[inv_c]
-        best_slot = jnp.where(has, uslot[inv_c], 0)
-        best_d2 = jnp.where(has, ud2[inv_c], jnp.inf)
-        return best_d2, best_slot, has
-
+        uwin = _stencil_candidate(
+            m, dd.uvox, ucenter, dd.uvalid, cfg, min_points, dtype
+        )
+        inv_c = jnp.minimum(dd.inv, cap - 1)
+        okq = dd.inv < cap
+        has = okq & uwin.has[inv_c]
+        return _StencilWin(
+            d2=jnp.where(has, uwin.d2[inv_c], jnp.inf),
+            slot=jnp.where(has, uwin.slot[inv_c], 0),
+            has=has,
+            n=jnp.where(has, uwin.n[inv_c], 0.0),
+            mean=jnp.where(has[:, None], uwin.mean[inv_c], 0.0),
+            mean_l=jnp.where(has[:, None], uwin.mean_l[inv_c], 0.0),
+        )
     return _stencil_candidate(
         m, vox_q, queries, jnp.ones((n,), bool), cfg, min_points, dtype
     )
 
 
-def _stencil_candidate(
-    m: VoxelHashMap,
-    vox_q: jnp.ndarray,
-    ref_pts: jnp.ndarray,
-    valid_q: jnp.ndarray,
-    cfg: VoxelMapConfig,
-    min_points: float,
-    dtype,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-query stencil probe + nearest-valid-mean winner (one batched
-    probe + one batched moment gather for the whole stencil)."""
-    n = vox_q.shape[0]
-    offs = jnp.asarray(nearby_offsets(6), jnp.int32)  # (7, 3)
-    vox_all = (vox_q[None, :, :] + offs[:, None, None, :]).reshape(-1, 3)
-    found, _ = probe(m, vox_all, cfg)  # (7N,)
-    slot = jnp.clip(found, 0, cfg.capacity - 1)
-    cnt = jnp.where(found >= 0, m.surf_n[slot], 0.0)
-    ok = (cnt >= min_points) & jnp.tile(valid_q, offs.shape[0])
-    # moments are voxel-local; reconstruct the world mean
-    mean = (
-        m.surf_s1[slot] / jnp.maximum(cnt, 1.0)[:, None]
-        + voxel_corner(m.keys[slot], cfg.resolution, dtype)
+def _plane_from_win(
+    m: VoxelHashMap, win: _StencilWin, planarity_max: float
+) -> SurfelResult:
+    """Plane parameters from a stencil winner: mean (in-register) +
+    smallest-eigenvector normal of the moment covariance (one surf_s2
+    gather per query)."""
+    dtype = m.meta.dtype
+    cnt = jnp.maximum(win.n, 1.0)
+    s2 = m.surf_s2[win.slot]
+    cov = s2 / cnt[:, None, None] - win.mean_l[:, :, None] * win.mean_l[:, None, :]
+    cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
+    # Analytic 3x3 eigendecomposition (ops.linalg.eigh3_smallest):
+    # jnp.linalg.eigh is iterative and ~1000x slower on TPU at this batch.
+    from fastlivo_tpu.ops import linalg as _linalg
+
+    min_eig, normal = _linalg.eigh3_smallest(cov)
+    d = -jnp.sum(normal * win.mean, axis=-1)
+    valid = win.has & (min_eig <= planarity_max)
+    normal = jnp.where(valid[:, None], normal, 0.0)
+    d = jnp.where(valid, d, 0.0)
+    return SurfelResult(
+        normal=normal,
+        d=d,
+        valid=valid,
+        min_eig=jnp.where(win.has, min_eig, jnp.inf),
+        n_pts=win.n * win.has.astype(dtype),
     )
-    d2 = jnp.sum((mean.reshape(-1, n, 3) - ref_pts[None, :, :]) ** 2, axis=-1)
-    d2 = jnp.where(ok.reshape(-1, n), d2, jnp.inf)  # (7, N)
-    # Winner = nearest valid mean; first offset wins ties (same order as
-    # the sequential-scan formulation: strict < keeps the earlier offset).
-    best_off = jnp.argmin(d2, axis=0)  # (N,)
-    best_d2 = jnp.take_along_axis(d2, best_off[None, :], axis=0)[0]
-    best_slot = jnp.take_along_axis(
-        slot.reshape(-1, n), best_off[None, :], axis=0
-    )[0]
-    has = jnp.isfinite(best_d2)
-    best_slot = jnp.where(has, best_slot, 0)
-    return best_d2, best_slot, has
 
 
 def surfel_plane(
@@ -636,31 +896,24 @@ def surfel_plane(
     cfg: VoxelMapConfig,
     planarity_max: float = 0.01,
 ) -> SurfelResult:
-    """Plane parameters from a voxel slot's running moments: mean +
-    smallest-eigenvector normal of the moment covariance."""
-    dtype = m.points.dtype
-    cnt = jnp.maximum(m.surf_n[slot], 1.0)
-    mean_l = m.surf_s1[slot] / cnt[:, None]
-    mean = mean_l + voxel_corner(m.keys[slot], cfg.resolution, dtype)
-    cov = (
-        m.surf_s2[slot] / cnt[:, None, None]
-        - mean_l[:, :, None] * mean_l[:, None, :]
+    """Plane parameters from a voxel slot's running moments (compat entry:
+    gathers the slot's packed meta row; the hot path uses _plane_from_win
+    which already has the moments in registers)."""
+    dtype = m.meta.dtype
+    row = m._meta_slot[slot]
+    cnt = jnp.maximum(row[:, 4], 1.0)
+    mean_l = row[:, 5:8] / cnt[:, None]
+    key = row[:, 0:3]
+    mean = mean_l + key * cfg.resolution
+    win = _StencilWin(
+        d2=jnp.zeros_like(cnt),
+        slot=slot,
+        has=has,
+        n=row[:, 4] * has.astype(dtype),
+        mean=mean,
+        mean_l=mean_l,
     )
-    cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
-    # Analytic 3x3 eigendecomposition (ops.linalg.eigh3_smallest):
-    # jnp.linalg.eigh is iterative and ~1000x slower on TPU at this batch.
-    from fastlivo_tpu.ops import linalg as _linalg
-
-    min_eig, normal = _linalg.eigh3_smallest(cov)
-    d = -jnp.sum(normal * mean, axis=-1)
-    valid = has & (min_eig <= planarity_max)
-    normal = jnp.where(valid[:, None], normal, 0.0)
-    d = jnp.where(valid, d, 0.0)
-    return SurfelResult(
-        normal=normal, d=d, valid=valid,
-        min_eig=jnp.where(has, min_eig, jnp.inf),
-        n_pts=m.surf_n[slot] * has.astype(dtype),
-    )
+    return _plane_from_win(m, win, planarity_max)
 
 
 def surfel_lookup(
@@ -671,35 +924,35 @@ def surfel_lookup(
     planarity_max: float = 0.01,
 ) -> SurfelResult:
     """Per-query surfel plane from the running voxel moments — the
-    Surfel-LIO-style fast path: NO kNN, NO per-scan plane fits; one probe
-    per stencil voxel + a batched 3x3 eigendecomposition. With
-    cfg.lookup_unique_cap the whole chain (probe, winner, moments, eigh)
-    runs once per UNIQUE scan voxel and fans back out with one row gather.
+    Surfel-LIO-style fast path: NO kNN, NO per-scan plane fits; one
+    bucket-row probe per stencil voxel + a batched 3x3 eigendecomposition.
+    With cfg.lookup_unique_cap the whole chain (probe, winner, eigh) runs
+    once per UNIQUE scan voxel and fans back out with one row gather.
     """
     n = queries.shape[0]
     cap = cfg.lookup_unique_cap
     if cap and cap < n:
         dtype = queries.dtype
         vox_q = voxel_coord(queries, cfg.resolution)
-        uvox, uvalid, inv = unique_voxels(vox_q, jnp.ones((n,), bool), cap)
+        dd = unique_voxels(vox_q, jnp.ones((n,), bool), cap)
         ucenter = (
-            voxel_corner(uvox, cfg.resolution, dtype) + 0.5 * cfg.resolution
+            voxel_corner(dd.uvox, cfg.resolution, dtype) + 0.5 * cfg.resolution
         )
-        _, uslot, uhas = _stencil_candidate(
-            m, uvox, ucenter, uvalid, cfg, min_points, dtype
+        uwin = _stencil_candidate(
+            m, dd.uvox, ucenter, dd.uvalid, cfg, min_points, dtype
         )
-        ures = surfel_plane(m, uslot, uhas, cfg, planarity_max)
-        inv_c = jnp.minimum(inv, cap - 1)
-        ok = inv < cap
+        ures = _plane_from_win(m, uwin, planarity_max)
+        inv_c = jnp.minimum(dd.inv, cap - 1)
+        okq = dd.inv < cap
         return SurfelResult(
-            normal=jnp.where(ok[:, None], ures.normal[inv_c], 0.0),
-            d=jnp.where(ok, ures.d[inv_c], 0.0),
-            valid=ok & ures.valid[inv_c],
-            min_eig=jnp.where(ok, ures.min_eig[inv_c], jnp.inf),
-            n_pts=jnp.where(ok, ures.n_pts[inv_c], 0.0),
+            normal=jnp.where(okq[:, None], ures.normal[inv_c], 0.0),
+            d=jnp.where(okq, ures.d[inv_c], 0.0),
+            valid=okq & ures.valid[inv_c],
+            min_eig=jnp.where(okq, ures.min_eig[inv_c], jnp.inf),
+            n_pts=jnp.where(okq, ures.n_pts[inv_c], 0.0),
         )
-    _, best_slot, has = surfel_candidate(m, queries, cfg, min_points)
-    return surfel_plane(m, best_slot, has, cfg, planarity_max)
+    win = _surfel_win(m, queries, cfg, min_points)
+    return _plane_from_win(m, win, planarity_max)
 
 
 # ---------------------------------------------------------------------------
@@ -737,7 +990,7 @@ def sharded_insert(
     mask: jnp.ndarray,
     cfg: VoxelMapConfig,
     axis_name: str,
-    dedup: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    dedup: VoxelDedup | None = None,
 ) -> VoxelHashMap:
     """Shard-local insert: every device sees the FULL gated scan (pts/mask
     replicated) and scatters only its owned voxels into its local arena.
@@ -767,8 +1020,9 @@ def sharded_surfel_lookup(
     """
     n = queries.shape[0]
     dtype = queries.dtype
-    best_d2, best_slot, has = surfel_candidate(m, queries, cfg, min_points)
-    res = surfel_plane(m, best_slot, has, cfg, planarity_max)
+    win = _surfel_win(m, queries, cfg, min_points)
+    res = _plane_from_win(m, win, planarity_max)
+    best_d2, has = win.d2, win.has
 
     d2m = jnp.where(has, best_d2, jnp.inf)
     gmin = jax.lax.pmin(d2m, axis_name)
@@ -778,7 +1032,7 @@ def sharded_surfel_lookup(
     # (two shards can't own the same voxel, but two distinct voxels can tie).
     contender = jnp.where((d2m == gmin) & has, my, ndev)
     gidx = jax.lax.pmin(contender, axis_name)
-    win = (contender == gidx) & (gidx < ndev)
+    win_dev = (contender == gidx) & (gidx < ndev)
 
     payload = jnp.concatenate(
         [
@@ -790,9 +1044,9 @@ def sharded_surfel_lookup(
         ],
         axis=1,
     )
-    payload = jnp.where(win[:, None], payload, 0.0)
+    payload = jnp.where(win_dev[:, None], payload, 0.0)
     merged = jax.lax.psum(payload, axis_name)
-    any_win = jax.lax.psum(win.astype(jnp.int32), axis_name) > 0
+    any_win = jax.lax.psum(win_dev.astype(jnp.int32), axis_name) > 0
     return SurfelResult(
         normal=merged[:, 0:3],
         d=merged[:, 3],
@@ -843,7 +1097,7 @@ def reanchor(
     segment's correction p' = R_seg p + t_seg and the arena is rebuilt
     (points change voxels under the correction, so a full re-hash insert is
     required). Attribution is EXACT PER POINT: the arena records each point
-    slot's insert epoch (slot_stamps), so a voxel revisited across segments
+    slot's insert epoch (slab_stamps), so a voxel revisited across segments
     (the common loop-closure case — same geometry seen before and after
     drift accumulated) has each of its points moved by the segment it was
     actually registered under. (An earlier design attributed whole voxels
@@ -876,11 +1130,11 @@ def reanchor(
 
     n_chunks = -(-(c * s) // chunk)
     pad = n_chunks * chunk - c * s
-    flat_pts = jnp.pad(m.points.reshape(c * s, 3), ((0, pad), (0, 0)))
+    flat_pts = jnp.pad(m.slab.reshape(c * s, 3), ((0, pad), (0, 0)))
     flat_ok = jnp.pad(slot_valid.reshape(c * s), (0, pad))
-    flat_ep = jnp.pad(m.slot_stamps.reshape(c * s), (0, pad))
+    flat_ep = jnp.pad(m.slab_stamps, (0, pad))
 
-    fresh = make_map(cfg, m.points.dtype)._replace(epoch=m.epoch)
+    fresh = make_map(cfg, m.slab.dtype)._replace(epoch=m.epoch)
 
     def body(i, fresh):
         p_chunk = jax.lax.dynamic_slice_in_dim(flat_pts, i * chunk, chunk)

@@ -138,10 +138,10 @@ class ScanInput(NamedTuple):
 
 def _maybe_dedup(pts_w, mask, map_cfg):
     """Unique-voxel dedup shared between the insert gate and the insert
-    (one sort instead of two); None when dedup is disabled or pointless."""
-    cap = map_cfg.lookup_unique_cap
-    if not cap or pts_w.shape[0] <= cap:
-        return None
+    (one sort instead of two). Always worthwhile with the bucketized
+    arena: the table sizes to min(cap, N)."""
+    n = pts_w.shape[0]
+    cap = min(map_cfg.lookup_unique_cap or n, n)
     return vm.unique_voxels(
         vm.voxel_coord(pts_w, map_cfg.resolution), mask, cap
     )
@@ -577,7 +577,10 @@ class LivoPipeline:
         if cfg.loop.loop_en:
             from fastlivo_tpu.backend.loop_manager import LoopBackend
 
-            self.loop_backend = LoopBackend(cfg, background=False)
+            # Detection runs on a worker thread by default (the reference's
+            # std::thread loop, laser_mapping.cpp:1223-1349) so STD cost
+            # stays off the scan critical path; finish() drains it.
+            self.loop_backend = LoopBackend(cfg, background=cfg.loop.background)
 
         # GNSS fusion (reference: gnss_en + GNSSProcessing wiring,
         # laser_mapping.cpp:1059-1069, :616-621).

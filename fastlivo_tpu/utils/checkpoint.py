@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCHEMA_VERSION = 4
+SCHEMA_VERSION = 5
 
 
 def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
@@ -55,7 +55,8 @@ def save_pipeline(path: str, pipe, meta: Dict[str, Any] | None = None):
         # Bump on any change to array SEMANTICS (not just shapes): v2 =
         # surfel moments stored in voxel-local coordinates; v3 = per-point
         # slot_stamps field added to the voxel arena; v4 = non-wrapping
-        # window hash (arena slot layout changed).
+        # window hash (arena slot layout changed); v5 = bucketized
+        # packed-row arena (meta/counts/slab/slab_stamps/surf_s2).
         "schema_version": SCHEMA_VERSION,
         "first_scan": pipe.first_scan,
         "init_done": pipe.initializer.done,

@@ -201,6 +201,14 @@ class LoopParams:
     dis_threshold: float = 0.5
     visual_verify_en: bool = False  # LightGlue/SuperPoint gate
     match_ratio_thresh: float = 0.2
+    # Run STD detection on a worker thread so it stays off the scan
+    # critical path (the reference's loop thread, laser_mapping.cpp:1223).
+    # Sync mode (False) is for tests/determinism.
+    background: bool = True
+    # Reject a loop whose STD/ICP pose disagrees with the image-derived
+    # essential-matrix rotation by more than this (radians); 0 disables
+    # (reference feeds recoverPose into the factor, laser_mapping.cpp:1326).
+    pose_check_max_rot: float = 0.35
 
 
 @dataclass

@@ -70,6 +70,57 @@ def test_loop_backend_background_thread():
     assert len(be.loops) >= 1
 
 
+def test_pose_cross_check_rejects_corrupted_std_pose():
+    """The image-derived essential-matrix rotation must reject a loop whose
+    STD pose is wrong (reference feeds recoverPose into the factor,
+    laser_mapping.cpp:1326-1343; here it cross-checks the STD rotation)."""
+    import jax
+    import jax.numpy as jnp
+    from fastlivo_tpu.io import render
+    from fastlivo_tpu.ops.camera import Pinhole
+
+    cam = Pinhole(width=320, height=256, fx=200.0, fy=200.0, cx=160.0, cy=128.0)
+    base = Rotation.from_euler("x", -90, degrees=True).as_matrix()
+    jrender = jax.jit(render.render_room, static_argnames="cam")
+
+    def img_at(pos):
+        rcw = np.asarray(base).T
+        pcw = -rcw @ np.asarray(pos)
+        return np.asarray(
+            jrender(cam, jnp.asarray(rcw, jnp.float32), jnp.asarray(pcw, jnp.float32))
+        )
+
+    cfg = FastLivoConfig()
+    cfg.loop.loop_en = True
+    cfg.loop.visual_verify_en = True
+    cfg.camera.width, cfg.camera.height = 320, 256
+    cfg.camera.fx = cfg.camera.fy = 200.0
+    cfg.camera.cx, cfg.camera.cy = 160.0, 128.0
+    # bodies carry identity world rotation; the camera looks along BASE,
+    # so camera-from-body = BASE^T (rcl with identity lidar-imu extrinsic).
+    cfg.camera.rcl = tuple(np.asarray(base).T.reshape(-1).tolist())
+    cfg.keyframe.trans_thresh_m = 0.2
+
+    def run(rot_std):
+        be = LoopBackend(cfg, background=False)
+        # two keyframes: the matched (old) frame at origin, current at 0.4 m
+        be.graph.maybe_add_keyframe(np.eye(3), np.zeros(3), 0.2, 0.2)
+        be.graph.maybe_add_keyframe(np.eye(3), np.array([0.4, 0.05, 0.0]), 0.2, 0.2)
+        be._std_frame_kf = [0]
+        be._frame_imgs = [img_at([0.0, 0.0, 0.0])]
+        be._last_img = img_at([0.4, 0.05, 0.0])
+        be._handle_result((0, 0.8, rot_std, np.zeros(3)), 1)
+        return be
+
+    # Consistent STD pose (identity relative rotation) -> accepted.
+    be_ok = run(np.eye(3))
+    assert len(be_ok.loops) == 1, be_ok.rejected_loops
+    # Corrupted STD rotation (40 deg yaw the images don't show) -> rejected.
+    be_bad = run(Rotation.from_euler("z", 40, degrees=True).as_matrix())
+    assert len(be_bad.loops) == 0
+    assert len(be_bad.rejected_loops) == 1
+
+
 def test_visual_gate_rejects_mismatched_images():
     """With visual verification enabled and photometrically unrelated frames,
     the loop is rejected; with matching frames it passes."""
