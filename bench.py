@@ -360,6 +360,71 @@ def main(smoke: bool = False):
         has_livo = False
         state_l, m_l = state, m  # the main chain still owns the arena
 
+    # --- Matched-operating-point config (VERDICT r3 item 2): the
+    # reference's committed log runs ~10k downsampled points/scan at 10 Hz
+    # (Log/fast_livo_time_log.csv, ~0.013-0.028 s/scan). A 16k budget on
+    # the same scan geometry downsamples to that regime, making
+    # per_scan_ms_16k apples-to-apples with the reference's per-scan time.
+    n_raw_16 = 4096 if smoke else 20480
+    cfg16 = pl_mod.StepConfig(
+        map_cfg=vm.VoxelMapConfig(
+            resolution=0.5, capacity=1 << (14 if smoke else 18),
+            max_points=32, nearby_type=18,
+            lookup_unique_cap=1024 if smoke else 8192,
+        ),
+        lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
+        ds_capacity=2048 if smoke else 16384,
+        imu_window=imu_m,
+    )
+
+    # Prebuilt device-resident pool (eager slicing inside the timed loop
+    # would cost ~0.5-1 s per dispatched op on the tunneled client).
+    scans16 = [
+        s._replace(
+            pts=s.pts[:n_raw_16],
+            t_offs=s.t_offs[:n_raw_16],
+            mask=s.mask[:n_raw_16],
+        )
+        for s in scans
+    ]
+    jax.block_until_ready(scans16[-1].pts)
+
+    def make_scan16(k):
+        return scans16[k % n_pool]
+
+    # Distinct __name__ => distinct jit_* program name in the trace.
+    def lio_scan_step_16k(state, lidar_map, scan, rot_il, t_il, cfg,
+                          axis_name=None):
+        return pl_mod.lio_scan_step(
+            state, lidar_map, scan, rot_il, t_il, cfg, axis_name=axis_name
+        )
+
+    step16 = jax.jit(
+        lio_scan_step_16k,
+        static_argnames=("cfg", "axis_name"),
+        donate_argnames=("lidar_map",),
+    )
+    state16 = NavState.identity()._replace(cov=jnp.eye(18) * 1e-4)
+    m16 = vm.make_map(cfg16.map_cfg)
+    m16 = jax.jit(
+        pl_mod.bootstrap_map, static_argnames=("cfg", "axis_name"),
+        donate_argnames=("lidar_map",),
+    )(m16, make_scan16(0), state16, i3, z3, cfg16)
+    idx16 = [1]
+
+    def lio16_once():
+        nonlocal state16, m16
+        k = idx16[0]
+        idx16[0] += 1
+        state16, m16, info16, _, _ = step16(
+            state16, m16, make_scan16(k), i3, z3, cfg16
+        )
+        return info16
+
+    for _ in range(5):
+        info16 = lio16_once()
+    jax.block_until_ready(state16)
+
     # ---- DEVICE-TIME measurement (the headline): everything above ran in
     # enqueue mode — on this PJRT client block_until_ready returns BEFORE
     # execution completes (verified: a 515 GFLOP/step matmul chain
@@ -383,10 +448,16 @@ def main(smoke: bool = False):
         if has_livo:
             for _ in range(4 if smoke else 12):
                 vinfo = livo_pair()
+        for _ in range(k_dev):
+            info16 = lio16_once()
+        # Host fetches LAST (they poison subsequent dispatches for the
+        # rest of the process — CLAUDE.md).
+        if has_livo:
             _ = np.asarray(vinfo.n_selected)
         _ = np.asarray(acc)
         n_eff = int(info.n_effective)
         iters = max(int(info.iterations), 1)
+        n_eff16 = int(info16.n_effective)
     dur, cnt = _trace_device_totals(trace_dir)
 
     def dev_ms(name, div=1.0):
@@ -395,6 +466,7 @@ def main(smoke: bool = False):
         return dur[name] / cnt[name] / 1e3 / div
 
     per_scan_dev = dev_ms("jit_lio_scan_step")
+    per_scan16_dev = dev_ms("jit_lio_scan_step_16k")
     t_gather_dev = dev_ms("jit_arena_gather_pass", div=R_GATHER)
     vio_dev = dev_ms("jit_vio_update")
 
@@ -432,6 +504,20 @@ def main(smoke: bool = False):
         out["ceiling_gather_ms"] = round(t_gather_dev, 3)
         out["arena_gather_queries_per_sec"] = round(
             queries.shape[0] / (t_gather_dev / 1e3), 1
+        )
+    if per_scan16_dev is not None:
+        # Matched operating point: the reference's own load (~10k effective
+        # points/scan, Log/fast_livo_time_log.csv rows 1-4 at
+        # 0.013-0.028 s/scan). vs_reference_scan_time uses the log's median
+        # ~0.0206 s/scan directly (same work unit: one scan).
+        out["per_scan_ms_16k"] = round(per_scan16_dev, 3)
+        out["points_per_sec_16k"] = round(
+            cfg16.ds_capacity / (per_scan16_dev / 1e3), 1
+        )
+        out["n_effective_16k"] = n_eff16
+        out["scan_budget_16k"] = cfg16.ds_capacity
+        out["vs_reference_scan_time_16k"] = round(
+            20.6 / per_scan16_dev, 3
         )
     if has_livo and vio_dev is not None and per_scan_dev is not None:
         out["vio_step_ms"] = round(vio_dev, 3)

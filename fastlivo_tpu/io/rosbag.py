@@ -99,10 +99,12 @@ def _iter_bag_records(path: str) -> Iterator[Tuple[int, Dict[bytes, bytes], byte
                         import lz4.frame  # type: ignore
 
                         data = lz4.frame.decompress(data)
-                    except ImportError as e:
-                        raise RuntimeError(
-                            "bag uses lz4 chunks; lz4 package unavailable"
-                        ) from e
+                    except ImportError:
+                        # vendored pure-python frame decoder (no external
+                        # lz4 package in this environment)
+                        from fastlivo_tpu.io import lz4f
+
+                        data = lz4f.decompress(data)
                 sub = _io.BytesIO(data)
                 while True:
                     srec = _read_record(sub)

@@ -1085,6 +1085,8 @@ class LivoPipeline:
             self.t_ci,
             self.step_cfg,
         )
+        if self.cfg.runtime.img_save_en:
+            self._dump_annotated_frame(img)
         if self._batch_eligible:
             # Chained dispatch; defer the trajectory fetch to flush_scans.
             self._sum_buf, self._sum_idx = self._append_sum(
@@ -1107,6 +1109,42 @@ class LivoPipeline:
 
         q = np.asarray(so3.rot_to_quat(self.state.rot))
         self.trajectory.append((t_abs, np.asarray(self.state.pos), q))
+
+    def _dump_annotated_frame(self, img):
+        """Keypatch-annotated frame to <out_dir>/img/ (the reference's
+        /rgb_img stream, lidar_selection.cpp:982-1002). Debug path: the
+        overlay is a separate jitted program and the PNG write fetches to
+        host — enable runtime.img_save_en only on CPU/debug runs."""
+        from fastlivo_tpu.io import annotate as annotate_mod
+        from fastlivo_tpu.models import vio as vio_mod
+
+        if not hasattr(self, "_overlay_fn"):
+            self._overlay_fn = jax.jit(
+                vio_mod.candidate_overlay,
+                static_argnames=("cam", "vm_cfg", "cfg"),
+            )
+            self._img_frame_idx = 0
+        uv, valid, inlier = self._overlay_fn(
+            self.state,
+            self.visual_map,
+            img,
+            self.world_cloud,
+            self.world_mask,
+            self.step_cfg.cam,
+            self.rot_ci,
+            self.t_ci,
+            self.step_cfg.vm_cfg,
+            self.step_cfg.vio_cfg,
+        )
+        annotate_mod.save_annotated(
+            self.cfg.runtime.out_dir,
+            self._img_frame_idx,
+            self._last_vio_img,
+            np.asarray(uv),
+            np.asarray(valid),
+            np.asarray(inlier),
+        )
+        self._img_frame_idx += 1
 
     @property
     def acc_scale(self) -> float:

@@ -565,6 +565,50 @@ def photometric_update(
     return state._replace(cov=cov), err_first, err_last
 
 
+def candidate_overlay(
+    state: NavState,
+    vmap: vmap_mod.VisualMap,
+    img: jnp.ndarray,
+    scan_world: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    cam: Pinhole,
+    rot_ci: jnp.ndarray,
+    t_ci: jnp.ndarray,
+    vm_cfg: vmap_mod.VisualMapConfig,
+    cfg: VioConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Debug overlay data for the annotated image stream (the reference's
+    display_keypatch + /rgb_img publisher, lidar_selection.cpp:982-1002):
+    re-runs candidate selection at the POSTERIOR pose and classifies each
+    tracked candidate by its level-0 photometric error against the stored
+    reference patch (the same gate the update uses).
+
+    Returns (uv (G, 2) pixel coords, valid (G,), inlier (G,)). Runs only
+    when runtime.img_save_en is on — this is a separate jitted program, so
+    the hot path pays nothing when disabled.
+    """
+    sel, _ = select(
+        state, vmap, img, scan_world, scan_mask, cam, rot_ci, t_ci, vm_cfg, cfg
+    )
+    rcw, pcw = camera_pose(state.rot, state.pos, rot_ci, t_ci)
+    p_c = sel.pt_pos @ rcw.T + pcw
+    uv = cam.project(p_c)
+    valid = (
+        sel.valid
+        & (p_c[..., 2] > 1e-3)
+        & cam.in_frame(uv, border=cfg.border_px // 2)
+    )
+    strides_i = jnp.round(sel.scale).astype(jnp.int32)
+    img_pad = img_ops.pad_image(img, _SAMPLE_PAD)
+    val = img_ops.strided_patch_sample(
+        img_pad, uv, strides_i, cfg.patch_size, _SAMPLE_PAD
+    )
+    res = val - sel.ref_patch[:, 0, :]
+    err = jnp.sum(res * res, axis=-1)
+    inlier = valid & (err <= cfg.outlier_threshold * cfg.patch_size**2)
+    return uv, valid, inlier
+
+
 def maintain(
     state: NavState,
     vmap: vmap_mod.VisualMap,

@@ -56,6 +56,11 @@ def run_log(
     from fastlivo_tpu.models.pipeline import LivoPipeline
     from fastlivo_tpu.utils.timing import StageTimer
 
+    # The CLI --out dir wins over the config's runtime.out_dir so every
+    # output (trajectories, PCD, annotated frames) lands in one place.
+    if out_dir is not None:
+        cfg.runtime.out_dir = out_dir
+
     pipe = LivoPipeline(cfg)
     if resume_from is not None:
         from fastlivo_tpu.utils import checkpoint as ckpt

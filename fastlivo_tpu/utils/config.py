@@ -233,6 +233,10 @@ class RuntimeParams:
 
     dense_map_en: bool = False
     pcd_save_en: bool = False
+    # Per-frame keypatch-annotated image dump to <out_dir>/img/ (the
+    # reference's /rgb_img debug stream, lidar_selection.cpp:982-1002).
+    # Host-fetch heavy: intended for CPU/debug runs.
+    img_save_en: bool = False
     out_dir: str = "Log"
     profile: bool = False
     num_devices: int = 1  # point-sharding mesh size

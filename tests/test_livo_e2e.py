@@ -150,6 +150,48 @@ def test_surfel_livo_dedup_lookup_tracks(seq):
     assert err < 0.08, f"dedup surfel-LIVO ATE {err * 100:.1f} cm"
 
 
+def test_annotated_image_dump(seq, tmp_path):
+    """runtime.img_save_en writes one keypatch-annotated PNG per VIO frame
+    (the reference's /rgb_img debug stream, lidar_selection.cpp:982-1002),
+    with mostly-inlier (green) candidates on a well-tracked sequence."""
+    import os
+    import struct
+    import zlib
+
+    cfg = make_cfg()
+    cfg.runtime.img_save_en = True
+    cfg.runtime.out_dir = str(tmp_path)
+    pipe, est, n_lio, n_vio = drive_livo(seq, cfg)
+    assert n_vio >= 20
+    d = tmp_path / "img"
+    frames = sorted(os.listdir(d))
+    assert len(frames) >= n_vio
+    # PNGs are structurally valid and the right size.
+    data = (d / frames[-1]).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (CAM.width, CAM.height)
+    # decode the IDAT payload and count annotation pixels
+    idat = b""
+    i = 8
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + w * 3)
+    assert (rows[:, 0] == 0).all()  # filter-0 rows
+    rgb = rows[:, 1:].reshape(h, w, 3)
+    from fastlivo_tpu.io.annotate import GREEN, RED
+
+    n_green = int((rgb == np.array(GREEN, np.uint8)).all(-1).sum())
+    n_red = int((rgb == np.array(RED, np.uint8)).all(-1).sum())
+    assert n_green > 100, (n_green, n_red)  # many tracked inliers drawn
+    assert n_green > n_red  # a well-tracked frame is mostly inliers
+
+
 def test_livo_tracks_under_brightness_ramp(seq):
     """Affine exposure compensation (vio.exposure_en, the working version
     of the reference's unused exp_time plumbing): a sequence whose frames

@@ -145,7 +145,14 @@ def write_bag(path, messages, compression=b"none"):
              b"time": _ros_time(t)},
             raw,
         )
-    data = _bz2.compress(chunk) if compression == b"bz2" else chunk
+    if compression == b"bz2":
+        data = _bz2.compress(chunk)
+    elif compression == b"lz4":
+        from fastlivo_tpu.io import lz4f
+
+        data = lz4f.compress(chunk)
+    else:
+        data = chunk
     with open(path, "wb") as f:
         f.write(b"#ROSBAG V2.0\n")
         f.write(_record({b"op": b"\x03", b"index_pos": _U64.pack(0),
@@ -200,7 +207,36 @@ def _make_messages(rng, use_custommsg):
     return msgs, img
 
 
-@pytest.mark.parametrize("compression", [b"none", b"bz2"])
+def test_lz4_frame_codec_roundtrip(rng):
+    """The vendored pure-python LZ4 frame codec (io/lz4f.py): round-trips
+    compressible, incompressible, overlapping-match and empty payloads,
+    and rejects corruption via the content checksum."""
+    from fastlivo_tpu.io import lz4f
+
+    cases = [
+        b"",
+        b"a",
+        b"abcabcabcabcabcabcabcabcabcabcabc",  # overlap (offset < matchlen)
+        bytes(rng.integers(0, 256, 100000, dtype=np.uint8)),  # incompressible
+        np.zeros(70000, np.uint8).tobytes(),  # long runs
+        (b"lidar-imu-visual-odometry " * 4000),
+        np.arange(30000, dtype=np.float32).tobytes(),
+    ]
+    for payload in cases:
+        frame = lz4f.compress(payload)
+        assert lz4f.decompress(frame) == payload
+    # incompressible data must take the stored-block path, compressible
+    # data must actually shrink
+    assert len(lz4f.compress(cases[3])) >= len(cases[3])
+    assert len(lz4f.compress(cases[5])) < len(cases[5]) // 4
+    # corruption is caught (content checksum)
+    frame = bytearray(lz4f.compress(cases[5]))
+    frame[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        lz4f.decompress(bytes(frame))
+
+
+@pytest.mark.parametrize("compression", [b"none", b"bz2", b"lz4"])
 def test_bag_reader_roundtrip(tmp_path, compression):
     rng = np.random.default_rng(0)
     msgs, _ = _make_messages(rng, use_custommsg=True)
