@@ -99,15 +99,25 @@ def perturb_pose(rng, o, yaw, pitch, roll):
     )
 
 
-def build_dataset(n_pairs, seed, st_thresh=25.0, min_overlap=0.35):
-    """Pre-render pairs + supervision on the accelerator; return host arrays.
+def build_dataset(n_pairs, seed, st_thresh=25.0, min_overlap=0.35,
+                  chunk=32):
+    """Render pairs + supervision ON DEVICE and keep them there.
 
-    Returns dict of np arrays:
-      img0/img1 (N, H, W) clean renders in [0, 255]
-      det0/det1 (N, G) int32 detector cell labels (0..63 position, 64 none)
-      corr01/corr10 (N, G) int32 target cell in the other image (-1 invalid)
-      uv1_of0 (N, G, 2) f32 exact reprojection of cell centers (for LG GT)
-      rcw0/pcw0/rcw1/pcw1 pose arrays
+    FETCH-FREE by design: on this environment's tunneled PJRT client the
+    FIRST host fetch permanently degrades every subsequent dispatch from
+    ~0.1-2 ms to ~250-850 ms (CLAUDE.md) — the original per-pair host loop
+    fetched 6 arrays per pair and made training take hours. Here rendering
+    is vmapped in chunks, supervision is computed on device, pairs failing
+    the overlap gate are compacted to the END (device argsort), and the
+    training sampler draws indices below a DEVICE-side n_valid — nothing
+    is fetched until after the last training step.
+
+    Returns (ds, n_valid): dict of device arrays
+      img0/img1 (M, H, W) clean renders in [0, 255]
+      det0/det1 (M, G) int32 detector cell labels (0..63 position, 64 none)
+      corr01/corr10 (M, G) int32 target cell in the other image (-1 invalid)
+      uv1_of0 (M, G, 2) f32 exact reprojection of cell centers (for LG GT)
+    with the first n_valid rows overlap-valid (M = 2 * n_pairs oversample).
     """
     import jax
     import jax.numpy as jnp
@@ -117,34 +127,46 @@ def build_dataset(n_pairs, seed, st_thresh=25.0, min_overlap=0.35):
 
     cam = make_cam()
     rng = np.random.default_rng(seed)
-    rrender = jax.jit(render.render_room_hits, static_argnames="cam")
-    st_dense = jax.jit(img_ops.shi_tomasi_dense)
 
-    def det_labels(img):
-        """Per-8x8-cell Shi-Tomasi argmax position (0..63) or dustbin 64."""
-        st = np.asarray(st_dense(jnp.asarray(img)))
-        st = st.reshape(HC, 8, WC, 8).transpose(0, 2, 1, 3).reshape(HC, WC, 64)
-        pos = st.argmax(axis=-1)
-        lab = np.where(st.max(axis=-1) > st_thresh, pos, 64)
-        return lab.reshape(-1).astype(np.int32)
+    m = 2 * n_pairs
+    m = ((m + chunk - 1) // chunk) * chunk
+    poses = []
+    for _ in range(m):
+        p0 = sample_pose(rng)
+        p1 = perturb_pose(rng, *p0)
+        poses.append(pose_matrices(*p0) + pose_matrices(*p1))
+    rcw0 = np.stack([p[0] for p in poses])
+    pcw0 = np.stack([p[1] for p in poses])
+    rcw1 = np.stack([p[2] for p in poses])
+    pcw1 = np.stack([p[3] for p in poses])
 
     # Cell centers (pixel coords of the descriptor grid).
     cy, cx = np.meshgrid(np.arange(HC) * 8 + 4, np.arange(WC) * 8 + 4,
                          indexing="ij")
     centers = np.stack([cx, cy], -1).reshape(-1, 2)  # (G, 2) xy
+    cen_x = jnp.asarray(centers[:, 0])
+    cen_y = jnp.asarray(centers[:, 1])
+
+    def det_labels(img):
+        """Per-8x8-cell Shi-Tomasi argmax position (0..63) or dustbin 64."""
+        st = img_ops.shi_tomasi_dense(img)
+        st = st.reshape(HC, 8, WC, 8).transpose(0, 2, 1, 3).reshape(
+            HC, WC, 64
+        )
+        pos = st.argmax(axis=-1)
+        lab = jnp.where(st.max(axis=-1) > st_thresh, pos, 64)
+        return lab.reshape(-1).astype(jnp.int32)
 
     def corr_targets(hits, valid, rcw_o, pcw_o):
         """For each cell center of THIS image: target cell index in the
         OTHER image (or -1), and the exact reprojected uv."""
-        hp = hits[centers[:, 1], centers[:, 0]]  # (G, 3) world
-        ok = valid[centers[:, 1], centers[:, 0]]
+        hp = hits[cen_y, cen_x]  # (G, 3) world
+        ok = valid[cen_y, cen_x]
         p_c = hp @ rcw_o.T + pcw_o
         z_ok = p_c[:, 2] > 0.05
-        uv = np.stack(
-            [
-                200.0 * p_c[:, 0] / np.maximum(p_c[:, 2], 1e-6) + 160.0,
-                200.0 * p_c[:, 1] / np.maximum(p_c[:, 2], 1e-6) + 128.0,
-            ],
+        z = jnp.maximum(p_c[:, 2], 1e-6)
+        uv = jnp.stack(
+            [200.0 * p_c[:, 0] / z + 160.0, 200.0 * p_c[:, 1] / z + 128.0],
             -1,
         )
         inf = (
@@ -152,56 +174,54 @@ def build_dataset(n_pairs, seed, st_thresh=25.0, min_overlap=0.35):
             & (uv[:, 1] >= 4) & (uv[:, 1] < CAM_H - 4)
         )
         cell = (
-            np.clip(uv[:, 1] // 8, 0, HC - 1) * WC
-            + np.clip(uv[:, 0] // 8, 0, WC - 1)
-        ).astype(np.int32)
-        tgt = np.where(ok & z_ok & inf, cell, -1).astype(np.int32)
-        return tgt, uv.astype(np.float32), (ok & z_ok & inf)
+            jnp.clip(uv[:, 1] // 8, 0, HC - 1) * WC
+            + jnp.clip(uv[:, 0] // 8, 0, WC - 1)
+        ).astype(jnp.int32)
+        good = ok & z_ok & inf
+        tgt = jnp.where(good, cell, -1).astype(jnp.int32)
+        return tgt, uv.astype(jnp.float32), good
 
-    data = {k: [] for k in (
-        "img0", "img1", "det0", "det1", "corr01", "corr10", "uv1_of0",
-        "rcw0", "pcw0", "rcw1", "pcw1",
-    )}
-    tries = 0
-    while len(data["img0"]) < n_pairs:
-        tries += 1
-        p0 = sample_pose(rng)
-        p1 = perturb_pose(rng, *p0)
-        rcw0, pcw0 = pose_matrices(*p0)
-        rcw1, pcw1 = pose_matrices(*p1)
-        i0, h0, v0 = rrender(cam, jnp.asarray(rcw0), jnp.asarray(pcw0))
-        i1, h1, v1 = rrender(cam, jnp.asarray(rcw1), jnp.asarray(pcw1))
-        i0, h0, v0 = np.asarray(i0), np.asarray(h0), np.asarray(v0)
-        i1, h1, v1 = np.asarray(i1), np.asarray(h1), np.asarray(v1)
-        c01, uv1, m01 = corr_targets(h0, v0, rcw1, pcw1)
-        c10, _, m10 = corr_targets(h1, v1, rcw0, pcw0)
-        if m01.mean() < min_overlap or m10.mean() < min_overlap:
-            continue
-        data["img0"].append(i0)
-        data["img1"].append(i1)
-        data["det0"].append(det_labels(i0))
-        data["det1"].append(det_labels(i1))
-        data["corr01"].append(c01)
-        data["corr10"].append(c10)
-        data["uv1_of0"].append(uv1)
-        data["rcw0"].append(rcw0)
-        data["pcw0"].append(pcw0)
-        data["rcw1"].append(rcw1)
-        data["pcw1"].append(pcw1)
-    return {k: np.stack(v) for k, v in data.items()}
+    def one_pair(r0, p0, r1, p1):
+        i0, h0, v0 = render.render_room_hits(cam, r0, p0)
+        i1, h1, v1 = render.render_room_hits(cam, r1, p1)
+        c01, uv1, m01 = corr_targets(h0, v0, r1, p1)
+        c10, _, m10 = corr_targets(h1, v1, r0, p0)
+        ok = (jnp.mean(m01.astype(jnp.float32)) >= min_overlap) & (
+            jnp.mean(m10.astype(jnp.float32)) >= min_overlap
+        )
+        return i0, i1, det_labels(i0), det_labels(i1), c01, c10, uv1, ok
 
+    pair_batch = jax.jit(jax.vmap(one_pair))
+    parts = []
+    for s in range(0, m, chunk):
+        sl = slice(s, s + chunk)
+        parts.append(pair_batch(
+            jnp.asarray(rcw0[sl]), jnp.asarray(pcw0[sl]),
+            jnp.asarray(rcw1[sl]), jnp.asarray(pcw1[sl]),
+        ))
+    cat = [jnp.concatenate([p[i] for p in parts]) for i in range(8)]
+    img0, img1, det0, det1, c01, c10, uv1, ok = cat
 
-def augment(rng, imgs):
-    """Per-image brightness gain/bias/gamma on [0,255] renders -> [0,1]."""
-    b = imgs.shape[0]
-    g = rng.uniform(0.6, 1.5, (b, 1, 1)).astype(np.float32)
-    off = rng.uniform(-0.12, 0.12, (b, 1, 1)).astype(np.float32)
-    gamma = rng.uniform(0.7, 1.4, (b, 1, 1)).astype(np.float32)
-    x = np.clip(imgs / 255.0, 0.0, 1.0) ** gamma
-    return np.clip(g * x + off, 0.0, 1.0).astype(np.float32)
+    # Valid pairs first (stable argsort of the fail flag); training draws
+    # indices < n_valid.
+    order = jnp.argsort((~ok).astype(jnp.int32), stable=True)
+    ds = {
+        "img0": img0[order], "img1": img1[order],
+        "det0": det0[order], "det1": det1[order],
+        "corr01": c01[order], "corr10": c10[order],
+        "uv1_of0": uv1[order],
+    }
+    n_valid = jnp.sum(ok.astype(jnp.int32))
+    return ds, n_valid
 
 
-def train_superpoint(ds, steps, batch, seed, lr=3e-4, log_every=100):
+def train_superpoint(ds, n_valid, steps, batch, seed, lr=3e-4,
+                     chunk_steps=100):
+    """SuperPoint training as chained device dispatches: lax.scan over
+    `chunk_steps` optimizer steps per dispatch, batches gathered on device
+    below n_valid, jax.random brightness augmentation — no host fetch
+    anywhere (loss curves are returned as device arrays and fetched by the
+    CALLER after everything else is done)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -214,8 +234,6 @@ def train_superpoint(ds, steps, batch, seed, lr=3e-4, log_every=100):
         optax.adam(optax.cosine_decay_schedule(lr, steps)),
     )
     opt_state = opt.init(w)
-    rng = np.random.default_rng(seed + 1)
-    n = ds["img0"].shape[0]
     tau = 0.1
 
     def loss_fn(w, img0, img1, det0, det1, c01, c10):
@@ -247,80 +265,103 @@ def train_superpoint(ds, steps, batch, seed, lr=3e-4, log_every=100):
         )
         return l_det + l_desc, (l_det, l_desc)
 
-    @jax.jit
-    def step(w, opt_state, img0, img1, det0, det1, c01, c10):
-        (l, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            w, img0, img1, det0, det1, c01, c10
+    def augment_j(key, imgs):
+        b = imgs.shape[0]
+        kg, ko, kgam = jax.random.split(key, 3)
+        g = jax.random.uniform(kg, (b, 1, 1), minval=0.6, maxval=1.5)
+        off = jax.random.uniform(ko, (b, 1, 1), minval=-0.12, maxval=0.12)
+        gamma = jax.random.uniform(kgam, (b, 1, 1), minval=0.7, maxval=1.4)
+        x = jnp.clip(imgs / 255.0, 0.0, 1.0) ** gamma
+        return jnp.clip(g * x + off, 0.0, 1.0)
+
+    def one_step(carry, _):
+        w, opt_state, key = carry
+        key, ki, k0, k1 = jax.random.split(key, 4)
+        idx = jax.random.randint(
+            ki, (batch,), 0, jnp.maximum(n_valid, 1)
+        )
+        img0 = augment_j(k0, ds["img0"][idx])
+        img1 = augment_j(k1, ds["img1"][idx])
+        (l, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            w, img0, img1,
+            ds["det0"][idx], ds["det1"][idx],
+            ds["corr01"][idx], ds["corr10"][idx],
         )
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(w, updates), opt_state, l, aux
+        return (optax.apply_updates(w, updates), opt_state, key), l
 
-    for it in range(steps):
-        idx = rng.integers(0, n, batch)
-        img0 = augment(rng, ds["img0"][idx])
-        img1 = augment(rng, ds["img1"][idx])
-        w, opt_state, l, (ld, lde) = step(
-            w, opt_state, jnp.asarray(img0), jnp.asarray(img1),
-            jnp.asarray(ds["det0"][idx]), jnp.asarray(ds["det1"][idx]),
-            jnp.asarray(ds["corr01"][idx]), jnp.asarray(ds["corr10"][idx]),
+    @jax.jit
+    def train_chunk(w, opt_state, key):
+        (w, opt_state, key), ls = jax.lax.scan(
+            one_step, (w, opt_state, key), None, length=chunk_steps
         )
-        if it % log_every == 0 or it == steps - 1:
-            print(f"[sp {it:5d}] loss={float(l):.4f} det={float(ld):.4f} "
-                  f"desc={float(lde):.4f}", flush=True)
-    return w
+        return w, opt_state, key, ls
+
+    key = jax.random.PRNGKey(seed + 1)
+    losses = []
+    chunk_steps = min(chunk_steps, max(steps, 1))
+    n_chunks = max(steps // chunk_steps, 1)
+    for c in range(n_chunks):
+        w, opt_state, key, ls = train_chunk(w, opt_state, key)
+        losses.append(ls)
+        print(f"[sp] chunk {c + 1}/{n_chunks} dispatched", flush=True)
+    return w, jnp.concatenate(losses)
 
 
-def build_lg_dataset(ds, sp_w, max_kp=256, gt_px=3.0):
-    """Frozen-SuperPoint keypoints/descriptors + GT assignment per pair."""
+def build_lg_dataset(ds, sp_w, max_kp=256, gt_px=3.0, chunk=32):
+    """Frozen-SuperPoint keypoints/descriptors + GT assignment per pair,
+    entirely on device (vmapped extraction in chunks, no host fetch)."""
     import jax
     import jax.numpy as jnp
 
     from fastlivo_tpu.backend import superpoint_lightglue as spl
 
-    extract = jax.jit(
-        lambda im: spl.extract_keypoints(sp_w, im, max_kp)
-    )
-    n = ds["img0"].shape[0]
-    out = {k: [] for k in ("k0", "d0", "v0", "k1", "d1", "v1", "gt")}
-    for i in range(n):
-        i0 = np.clip(ds["img0"][i] / 255.0, 0, 1).astype(np.float32)
-        i1 = np.clip(ds["img1"][i] / 255.0, 0, 1).astype(np.float32)
-        k0, d0, v0 = (np.asarray(a) for a in extract(jnp.asarray(i0)))
-        k1, d1, v1 = (np.asarray(a) for a in extract(jnp.asarray(i1)))
+    def one(i0_raw, i1_raw, uv1_flat):
+        i0 = jnp.clip(i0_raw / 255.0, 0.0, 1.0)
+        i1 = jnp.clip(i1_raw / 255.0, 0.0, 1.0)
+        k0, d0, v0 = spl.extract_keypoints(sp_w, i0, max_kp)
+        k1, d1, v1 = spl.extract_keypoints(sp_w, i1, max_kp)
         # GT: project k0 through the exact geometry (uv1_of0 is on the cell
-        # grid; recompute per keypoint from the nearest hit-cell is noisy,
-        # so use the dense uv map bilinearly).
-        uv1 = ds["uv1_of0"][i].reshape(HC, WC, 2)
-        gx = np.clip(k0[:, 0] / 8.0 - 0.5, 0, WC - 1.001)
-        gy = np.clip(k0[:, 1] / 8.0 - 0.5, 0, HC - 1.001)
-        x0, y0 = gx.astype(int), gy.astype(int)
+        # grid; sample it bilinearly at each keypoint).
+        uv1 = uv1_flat.reshape(HC, WC, 2)
+        gx = jnp.clip(k0[:, 0] / 8.0 - 0.5, 0, WC - 1.001)
+        gy = jnp.clip(k0[:, 1] / 8.0 - 0.5, 0, HC - 1.001)
+        x0 = gx.astype(jnp.int32)
+        y0 = gy.astype(jnp.int32)
         fx, fy = (gx - x0)[:, None], (gy - y0)[:, None]
+        x1 = jnp.minimum(x0 + 1, WC - 1)
+        y1 = jnp.minimum(y0 + 1, HC - 1)
         proj = (
             uv1[y0, x0] * (1 - fx) * (1 - fy)
-            + uv1[y0, np.minimum(x0 + 1, WC - 1)] * fx * (1 - fy)
-            + uv1[np.minimum(y0 + 1, HC - 1), x0] * (1 - fx) * fy
-            + uv1[np.minimum(y0 + 1, HC - 1), np.minimum(x0 + 1, WC - 1)]
-            * fx * fy
+            + uv1[y0, x1] * fx * (1 - fy)
+            + uv1[y1, x0] * (1 - fx) * fy
+            + uv1[y1, x1] * fx * fy
         )
-        d2 = np.sum((proj[:, None, :] - k1[None, :, :]) ** 2, axis=-1)
-        j = d2.argmin(axis=1)
+        d2 = jnp.sum((proj[:, None, :] - k1[None, :, :]) ** 2, axis=-1)
+        j = jnp.argmin(d2, axis=1)
         ok = (
-            (d2[np.arange(len(k0)), j] < gt_px**2)
+            (jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0] < gt_px**2)
             & v0 & v1[j]
             & (proj[:, 0] > 0) & (proj[:, 0] < CAM_W)
             & (proj[:, 1] > 0) & (proj[:, 1] < CAM_H)
         )
-        gt = np.where(ok, j, -1).astype(np.int32)
-        for k, v in zip(
-            ("k0", "d0", "v0", "k1", "d1", "v1", "gt"),
-            (k0, d0, v0, k1, d1, v1, gt),
-        ):
-            out[k].append(v)
-    return {k: np.stack(v) for k, v in out.items()}
+        gt = jnp.where(ok, j, -1).astype(jnp.int32)
+        return k0, d0, v0, k1, d1, v1, gt
+
+    batched = jax.jit(jax.vmap(one))
+    m = ds["img0"].shape[0]
+    parts = []
+    for s in range(0, m, chunk):
+        sl = slice(s, s + chunk)
+        parts.append(
+            batched(ds["img0"][sl], ds["img1"][sl], ds["uv1_of0"][sl])
+        )
+    cat = [jnp.concatenate([p[i] for p in parts]) for i in range(7)]
+    return dict(zip(("k0", "d0", "v0", "k1", "d1", "v1", "gt"), cat))
 
 
-def train_lightglue(lg_ds, steps, batch, seed, n_layers=3, lr=4e-4,
-                    log_every=100):
+def train_lightglue(lg_ds, n_valid, steps, batch, seed, n_layers=3,
+                    lr=4e-4, chunk_steps=100):
     import jax
     import jax.numpy as jnp
     import optax
@@ -335,8 +376,6 @@ def train_lightglue(lg_ds, steps, batch, seed, n_layers=3, lr=4e-4,
         optax.adam(optax.cosine_decay_schedule(lr, steps)),
     )
     opt_state = opt.init(w)
-    rng = np.random.default_rng(seed + 2)
-    n = lg_ds["k0"].shape[0]
     size_wh = jnp.asarray([CAM_W, CAM_H], jnp.float32)
 
     def pair_loss(w, k0, d0, v0, k1, d1, v1, gt):
@@ -373,20 +412,34 @@ def train_lightglue(lg_ds, steps, batch, seed, n_layers=3, lr=4e-4,
         )(b["k0"], b["d0"], b["v0"], b["k1"], b["d1"], b["v1"], b["gt"])
         return jnp.mean(losses)
 
-    @jax.jit
-    def step(w, opt_state, b):
+    def one_step(carry, _):
+        w, opt_state, key = carry
+        key, ki = jax.random.split(key)
+        idx = jax.random.randint(
+            ki, (batch,), 0, jnp.maximum(n_valid, 1)
+        )
+        b = {k: v[idx] for k, v in lg_ds.items()}
         l, grads = jax.value_and_grad(loss_fn)(w, b)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(w, updates), opt_state, l
+        return (optax.apply_updates(w, updates), opt_state, key), l
 
-    for it in range(steps):
-        idx = rng.integers(0, n, batch)
-        b = {k: jnp.asarray(v[idx]) for k, v in lg_ds.items()}
-        w, opt_state, l = step(w, opt_state, b)
-        if it % log_every == 0 or it == steps - 1:
-            print(f"[lg {it:5d}] loss={float(l):.4f}", flush=True)
+    @jax.jit
+    def train_chunk(w, opt_state, key):
+        (w, opt_state, key), ls = jax.lax.scan(
+            one_step, (w, opt_state, key), None, length=chunk_steps
+        )
+        return w, opt_state, key, ls
+
+    key = jax.random.PRNGKey(seed + 2)
+    losses = []
+    chunk_steps = min(chunk_steps, max(steps, 1))
+    n_chunks = max(steps // chunk_steps, 1)
+    for c in range(n_chunks):
+        w, opt_state, key, ls = train_chunk(w, opt_state, key)
+        losses.append(ls)
+        print(f"[lg] chunk {c + 1}/{n_chunks} dispatched", flush=True)
     w.update(meta)
-    return w
+    return w, jnp.concatenate(losses)
 
 
 def adversarial_pair(seed=123, roll_delta=0.9, gamma=1.6):
@@ -466,21 +519,38 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     t0 = time.time()
-    print(f"rendering {args.pairs} training pairs ...", flush=True)
-    ds = build_dataset(args.pairs, args.seed)
-    dust = float((ds["det0"] == 64).mean())
-    corr = float((ds["corr01"] >= 0).mean())
-    print(f"dataset in {time.time() - t0:.0f}s "
-          f"(detector dustbin frac {dust:.2f}, corr frac {corr:.2f}); "
+    # PHASE ORDER MATTERS: everything up to the first fetch runs at
+    # fetch-free dispatch speed; diagnostics that need host values are
+    # collected as device scalars and printed at the very END.
+    print(f"rendering {args.pairs} training pairs (device) ...", flush=True)
+    ds, n_valid = build_dataset(args.pairs, args.seed)
+    print(f"render dispatched in {time.time() - t0:.0f}s; "
           f"training SuperPoint ...", flush=True)
-    sp_w = train_superpoint(ds, args.steps_sp, args.batch, args.seed)
-    print("building LightGlue dataset ...", flush=True)
+    sp_w, sp_losses = train_superpoint(
+        ds, n_valid, args.steps_sp, args.batch, args.seed
+    )
+    print("building LightGlue dataset (device) ...", flush=True)
     lg_ds = build_lg_dataset(ds, sp_w)
-    frac = float((lg_ds["gt"] >= 0).mean())
-    print(f"GT match fraction: {frac:.2f}")
-    lg_w = train_lightglue(
-        lg_ds, args.steps_lg, max(args.batch // 2, 1), args.seed,
+    lg_w, lg_losses = train_lightglue(
+        lg_ds, n_valid, args.steps_lg, max(args.batch // 2, 1), args.seed,
         n_layers=args.lg_layers,
+    )
+    # ---- first host fetches (degrades later dispatches; eval tolerates it)
+    import jax
+
+    jax.block_until_ready(lg_losses)
+    print(f"all training dispatched in {time.time() - t0:.0f}s; "
+          "fetching diagnostics ...", flush=True)
+    dust = float((np.asarray(ds["det0"]) == 64).mean())
+    gtfrac = float((np.asarray(lg_ds["gt"]) >= 0).mean())
+    sp_l = np.asarray(sp_losses)
+    lg_l = np.asarray(lg_losses)
+    print(
+        f"n_valid={int(np.asarray(n_valid))}/{ds['img0'].shape[0]} "
+        f"dustbin={dust:.2f} gt_frac={gtfrac:.2f}\n"
+        f"sp loss {sp_l[:5].mean():.4f} -> {sp_l[-50:].mean():.4f}  "
+        f"lg loss {lg_l[:5].mean():.4f} -> {lg_l[-50:].mean():.4f}",
+        flush=True,
     )
     rows = evaluate(sp_w, lg_w)
     if not args.no_save:

@@ -186,3 +186,51 @@ def test_oriented_matcher_passes_gate_cases(textured_img):
     ok, res = vv.verify_loop(img, img, vv.OrientedPatchMatcher())
     assert ok and res.match_ratio > 0.5
     np.testing.assert_allclose(res.pts1, res.pts2, atol=0.6)
+
+
+# --------------------------------------------------------------------------
+# Trained in-repo weights (committed by examples/train_matcher.py)
+# --------------------------------------------------------------------------
+
+
+def _render_view(rot_wc, pos):
+    from fastlivo_tpu.io import render
+    from fastlivo_tpu.ops.camera import Pinhole
+
+    cam = Pinhole(width=320, height=256, fx=200.0, fy=200.0, cx=160.0, cy=128.0)
+    rcw = np.asarray(rot_wc, np.float32).T
+    pcw = -rcw @ np.asarray(pos, np.float32)
+    f = jax.jit(render.render_room, static_argnames="cam")(
+        cam, jnp.asarray(rcw), jnp.asarray(pcw)
+    )
+    return np.asarray(f)
+
+
+@pytest.mark.skipif(
+    vv.default_weights_paths() is None,
+    reason="no trained matcher weights committed",
+)
+def test_trained_matcher_verifies_loops():
+    """The TRAINED SuperPoint+LightGlue artifact must run the reference's
+    loop gate end-to-end (laser_mapping.cpp:1314-1322): pass a true loop
+    pair (same place, shifted/rotated view) and reject a mismatched pair.
+    Also checks default_matcher() actually selects the learned path when
+    weights are committed."""
+    from scipy.spatial.transform import Rotation
+
+    m = vv.default_matcher()
+    assert isinstance(m, vv.SuperPointLightGlue)
+
+    base = Rotation.from_euler("x", -90, degrees=True).as_matrix()
+    img1 = _render_view(base, [0.0, 0.0, 0.0])
+    img2 = _render_view(
+        base @ Rotation.from_rotvec([0.0, 0.04, 0.06]).as_matrix(),
+        [0.25, 0.15, 0.05],
+    )
+    ok, res = vv.verify_loop(img1, img2, m)
+    assert ok, f"true loop rejected: ratio {res.match_ratio:.3f}"
+
+    far = base @ Rotation.from_euler("y", 150, degrees=True).as_matrix()
+    img3 = _render_view(far, [5.0, 4.0, 0.5])
+    ok3, res3 = vv.verify_loop(img1, img3, m)
+    assert not ok3, f"mismatched pair accepted: ratio {res3.match_ratio:.3f}"
