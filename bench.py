@@ -472,6 +472,10 @@ def main(smoke: bool = False):
 
     per_scan_s = per_scan_dev / 1e3 if per_scan_dev else per_scan
     pts_per_sec = cfg.ds_capacity / per_scan_s
+    # Effective-constraint throughput (VERDICT r4 weak #7): the headline
+    # divides the scan BUDGET (masked + gated-out lanes included) by device
+    # time; this divides only the lanes that contributed a residual row.
+    eff_pts_per_sec = n_eff / per_scan_s
     # IESKF innovation nnz/s (BASELINE.json north-star): each effective
     # point contributes a 1x6 block row to H (6 nnz), assembled every
     # filter iteration.
@@ -487,6 +491,7 @@ def main(smoke: bool = False):
         "enqueue_per_scan_ms": round(per_scan * 1e3, 3),
         "enqueue_per_scan_ms_spread": round(per_scan_spread * 1e3, 3),
         "ieskf_innovation_nnz_per_sec": round(nnz_per_sec, 1),
+        "effective_points_per_sec": round(eff_pts_per_sec, 1),
         "n_effective_last": n_eff,
         "iterations_last": iters,
         "measurement_model": "surfel",
@@ -507,17 +512,26 @@ def main(smoke: bool = False):
         )
     if per_scan16_dev is not None:
         # Matched operating point: the reference's own load (~10k effective
-        # points/scan, Log/fast_livo_time_log.csv rows 1-4 at
-        # 0.013-0.028 s/scan). vs_reference_scan_time uses the log's median
-        # ~0.0206 s/scan directly (same work unit: one scan).
+        # points/scan). Two bars (BASELINE.md "Matched-operating-point
+        # comparison bars"): 20.6 ms is the reference's early-log WARM-UP
+        # case (Log/fast_livo_time_log.csv row 3, small map); 42.2 ms is
+        # its full-log mean / converged running average — what it actually
+        # sustains, since its per-scan cost grows with map size
+        # (28 -> 45 ms at 1.81M map points) while this arena step is flat.
         out["per_scan_ms_16k"] = round(per_scan16_dev, 3)
         out["points_per_sec_16k"] = round(
             cfg16.ds_capacity / (per_scan16_dev / 1e3), 1
+        )
+        out["effective_points_per_sec_16k"] = round(
+            n_eff16 / (per_scan16_dev / 1e3), 1
         )
         out["n_effective_16k"] = n_eff16
         out["scan_budget_16k"] = cfg16.ds_capacity
         out["vs_reference_scan_time_16k"] = round(
             20.6 / per_scan16_dev, 3
+        )
+        out["vs_reference_steady_state_16k"] = round(
+            42.2 / per_scan16_dev, 3
         )
     if has_livo and vio_dev is not None and per_scan_dev is not None:
         out["vio_step_ms"] = round(vio_dev, 3)

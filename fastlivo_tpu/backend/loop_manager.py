@@ -54,7 +54,7 @@ class LoopBackend:
         self._last_kf: int = 0
         self.loops: List[LoopEvent] = []
         self._executor = ThreadPoolExecutor(max_workers=1) if background else None
-        self._pending: List[Tuple[Future, int]] = []
+        self._pending: List[Tuple[Future, int, Optional[np.ndarray]]] = []
 
         # Optional visual verification of loop candidates (the reference's
         # SuperPoint+LightGlue match-ratio gate, laser_mapping.cpp:1290-1343).
@@ -107,11 +107,18 @@ class LoopBackend:
             key_cloud = np.concatenate(self._cloud_buf)
             self._cloud_buf = []
             kf_idx = self._last_kf
+            # Capture the camera frame NOW, at key-cloud time — in
+            # background mode the detection future completes several scans
+            # later and `self._last_img` would then be a time-shifted frame
+            # (the reference stores per-keyframe images,
+            # laser_mapping.cpp:1223-1349).
+            key_img = self._last_img
             if self._executor is None:
-                self._handle_result(self._detect(key_cloud), kf_idx)
+                self._handle_result(self._detect(key_cloud), kf_idx, key_img)
             else:
                 self._pending.append(
-                    (self._executor.submit(self._detect, key_cloud), kf_idx)
+                    (self._executor.submit(self._detect, key_cloud),
+                     kf_idx, key_img)
                 )
         self._poll()
 
@@ -121,12 +128,12 @@ class LoopBackend:
     def _poll(self):
         done = [p for p in self._pending if p[0].done()]
         self._pending = [p for p in self._pending if not p[0].done()]
-        for fut, kf_idx in done:
-            self._handle_result(fut.result(), kf_idx)
+        for fut, kf_idx, key_img in done:
+            self._handle_result(fut.result(), kf_idx, key_img)
 
-    def _handle_result(self, result, kf_idx: int):
+    def _handle_result(self, result, kf_idx: int, key_img=None):
         self._std_frame_kf.append(kf_idx)
-        self._frame_imgs.append(self._last_img)
+        self._frame_imgs.append(key_img)
         if result is None:
             return
         fid, score, rot, t = result
@@ -210,8 +217,8 @@ class LoopBackend:
     def finish(self):
         """Drain pending background detections."""
         if self._executor is not None:
-            for fut, kf_idx in self._pending:
-                self._handle_result(fut.result(), kf_idx)
+            for fut, kf_idx, key_img in self._pending:
+                self._handle_result(fut.result(), kf_idx, key_img)
             self._pending = []
             self._executor.shutdown(wait=True)
 

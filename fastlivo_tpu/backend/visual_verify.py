@@ -215,10 +215,11 @@ def default_matcher() -> "PatchMatcher":
     OrientedPatchMatcher."""
     paths = default_weights_paths()
     if paths is not None:
-        try:
-            return SuperPointLightGlue(weights_path=paths)
-        except Exception:
-            pass
+        # Committed weights that fail to load are a broken artifact, not a
+        # reason to silently demote the gate to the classical matcher —
+        # surface it (the reference likewise hard-fails on a bad ONNX
+        # session, LightGlueDecoupleOnnxRunner.cpp:14-90).
+        return SuperPointLightGlue(weights_path=paths)
     return OrientedPatchMatcher()
 
 

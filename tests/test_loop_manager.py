@@ -108,8 +108,9 @@ def test_pose_cross_check_rejects_corrupted_std_pose():
         be.graph.maybe_add_keyframe(np.eye(3), np.array([0.4, 0.05, 0.0]), 0.2, 0.2)
         be._std_frame_kf = [0]
         be._frame_imgs = [img_at([0.0, 0.0, 0.0])]
-        be._last_img = img_at([0.4, 0.05, 0.0])
-        be._handle_result((0, 0.8, rot_std, np.zeros(3)), 1)
+        be._handle_result(
+            (0, 0.8, rot_std, np.zeros(3)), 1, img_at([0.4, 0.05, 0.0])
+        )
         return be
 
     # Consistent STD pose (identity relative rotation) -> accepted.
@@ -172,4 +173,88 @@ def test_visual_gate_rejects_mismatched_images():
     assert len(be_ok.loops) >= 1, "visual gate blocked a genuine loop"
     assert len(be_bad.loops) == 0 and len(be_bad.rejected_loops) >= 1, (
         len(be_bad.loops), be_bad.rejected_loops,
+    )
+
+
+def test_background_image_captured_at_submission():
+    """Regression for the background-mode image race (VERDICT r4 weak #3):
+    the camera frame stored for an STD frame must be the frame current at
+    KEY-CLOUD SUBMISSION time, not whatever `_last_img` holds when the
+    detection future happens to complete. A deliberately garbage image fed
+    between submission and poll would flip the visual-gate verdict if the
+    race existed."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    from fastlivo_tpu.io import render
+    from fastlivo_tpu.ops.camera import Pinhole
+
+    cam = Pinhole(width=320, height=256, fx=200.0, fy=200.0, cx=160.0, cy=128.0)
+    base = Rotation.from_euler("x", -90, degrees=True).as_matrix()
+    jrender = jax.jit(render.render_room, static_argnames="cam")
+
+    def img_at(pos):
+        rcw = np.asarray(base).T
+        pcw = -rcw @ np.asarray(pos)
+        return np.asarray(
+            jrender(cam, jnp.asarray(rcw, jnp.float32), jnp.asarray(pcw, jnp.float32))
+        )
+
+    cfg = FastLivoConfig()
+    cfg.loop.loop_en = True
+    cfg.loop.sub_frame_num = 5
+    cfg.loop.skip_near_num = 1
+    cfg.loop.corner_thre = 6.0
+    cfg.loop.icp_threshold = 0.3
+    cfg.loop.visual_verify_en = True
+    cfg.keyframe.trans_thresh_m = 0.5
+
+    be = LoopBackend(cfg, background=True)
+    # Hold every detection until released so the first key frame's future
+    # is guaranteed NOT done while the garbage frames stream in.
+    gate = threading.Event()
+    orig_detect = be._detect
+    be._detect = lambda kc: (gate.wait(30), orig_detect(kc))[1]
+
+    rng = np.random.default_rng(3)
+    img_a = img_at([0.0, 0.0, 0.0])
+    garbage = rng.uniform(0.0, 255.0, img_a.shape).astype(np.float32)
+
+    place = make_structured_scene(rng, n=25000)
+    for i in range(5):
+        be.on_scan(
+            np.eye(3), np.array([0.6 * i, 0.0, 0.0]),
+            place[rng.permutation(len(place))[:12000]], img=img_a,
+        )
+    # Key cloud 1 is queued (blocked). Stream unrelated frames so
+    # `_last_img` is garbage by the time that future completes.
+    place2 = make_structured_scene(np.random.default_rng(50), n=20000, layout_seed=77)
+    for i in range(5):
+        be.on_scan(
+            np.eye(3), np.array([40.0 + 0.6 * i, 10.0, 0.0]),
+            place2 + 0.0, img=garbage,
+        )
+    gate.set()
+    # Complete + poll the pending detections WHILE _last_img is garbage —
+    # exactly the window the race corrupted.
+    for p in list(be._pending):
+        p[0].result()
+    be._poll()
+    assert be._frame_imgs and be._frame_imgs[0] is not None
+    assert np.array_equal(be._frame_imgs[0], img_a), (
+        "STD frame 0 stored a poll-time image, not the submission-time one"
+    )
+
+    # Revisit place A with a matching view: the gate must verify the
+    # current frame against the CORRECT stored image and accept.
+    img_back = img_at([0.05, 0.02, 0.0])
+    for i in range(5):
+        be.on_scan(
+            np.eye(3), np.array([0.6 * i, 0.2, 0.0]),
+            place[rng.permutation(len(place))[:12000]], img=img_back,
+        )
+    be.finish()
+    assert len(be.loops) >= 1, (
+        "genuine loop rejected", be.rejected_loops,
     )
