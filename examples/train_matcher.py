@@ -452,10 +452,12 @@ def adversarial_pair(seed=123, roll_delta=0.9, gamma=1.6):
 
     cam = make_cam()
     rng = np.random.default_rng(seed)
-    o0 = np.array([0.5, -0.8, 2.0])
-    p0 = (o0, 0.6, -0.1, 0.15)
-    p1 = (o0 + np.array([0.9, 0.5, -0.4]), 0.6 + 0.18, -0.05,
-          0.15 + roll_delta)
+    o0 = np.array([0.5, -0.8, 2.0]) + rng.uniform(-1.0, 1.0, 3)
+    o0[2] = np.clip(o0[2], 0.8, 3.5)
+    yaw0 = rng.uniform(0, 2 * np.pi)
+    p0 = (o0, yaw0, rng.uniform(-0.2, 0.0), rng.uniform(-0.3, 0.3))
+    p1 = (o0 + np.array([0.9, 0.5, -0.4]) * rng.uniform(0.6, 1.2),
+          yaw0 + 0.18, p0[2] + 0.05, p0[3] + roll_delta)
     rr = jax.jit(render.render_room, static_argnames="cam")
     i0 = np.asarray(rr(cam, *map(jnp.asarray, pose_matrices(*p0))))
     i1 = np.asarray(rr(cam, *map(jnp.asarray, pose_matrices(*p1))))
