@@ -274,24 +274,28 @@ def train_superpoint(ds, n_valid, steps, batch, seed, lr=3e-4,
         x = jnp.clip(imgs / 255.0, 0.0, 1.0) ** gamma
         return jnp.clip(g * x + off, 0.0, 1.0)
 
-    def one_step(carry, _):
-        w, opt_state, key = carry
-        key, ki, k0, k1 = jax.random.split(key, 4)
-        idx = jax.random.randint(
-            ki, (batch,), 0, jnp.maximum(n_valid, 1)
-        )
-        img0 = augment_j(k0, ds["img0"][idx])
-        img1 = augment_j(k1, ds["img1"][idx])
-        (l, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            w, img0, img1,
-            ds["det0"][idx], ds["det1"][idx],
-            ds["corr01"][idx], ds["corr10"][idx],
-        )
-        updates, opt_state = opt.update(grads, opt_state)
-        return (optax.apply_updates(w, updates), opt_state, key), l
-
+    # ds/n_valid MUST be jit ARGUMENTS, not closure captures: closed-over
+    # concrete arrays are embedded as constants in the serialized HLO, and
+    # this environment's remote-compile tunnel rejects the ~500 MB module
+    # with HTTP 413. As arguments they stay device buffers by handle.
     @jax.jit
-    def train_chunk(w, opt_state, key):
+    def train_chunk(w, opt_state, key, ds, n_valid):
+        def one_step(carry, _):
+            w, opt_state, key = carry
+            key, ki, k0, k1 = jax.random.split(key, 4)
+            idx = jax.random.randint(
+                ki, (batch,), 0, jnp.maximum(n_valid, 1)
+            )
+            img0 = augment_j(k0, ds["img0"][idx])
+            img1 = augment_j(k1, ds["img1"][idx])
+            (l, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                w, img0, img1,
+                ds["det0"][idx], ds["det1"][idx],
+                ds["corr01"][idx], ds["corr10"][idx],
+            )
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(w, updates), opt_state, key), l
+
         (w, opt_state, key), ls = jax.lax.scan(
             one_step, (w, opt_state, key), None, length=chunk_steps
         )
@@ -302,7 +306,7 @@ def train_superpoint(ds, n_valid, steps, batch, seed, lr=3e-4,
     chunk_steps = min(chunk_steps, max(steps, 1))
     n_chunks = max(steps // chunk_steps, 1)
     for c in range(n_chunks):
-        w, opt_state, key, ls = train_chunk(w, opt_state, key)
+        w, opt_state, key, ls = train_chunk(w, opt_state, key, ds, n_valid)
         losses.append(ls)
         print(f"[sp] chunk {c + 1}/{n_chunks} dispatched", flush=True)
     return w, jnp.concatenate(losses)
@@ -412,19 +416,20 @@ def train_lightglue(lg_ds, n_valid, steps, batch, seed, n_layers=3,
         )(b["k0"], b["d0"], b["v0"], b["k1"], b["d1"], b["v1"], b["gt"])
         return jnp.mean(losses)
 
-    def one_step(carry, _):
-        w, opt_state, key = carry
-        key, ki = jax.random.split(key)
-        idx = jax.random.randint(
-            ki, (batch,), 0, jnp.maximum(n_valid, 1)
-        )
-        b = {k: v[idx] for k, v in lg_ds.items()}
-        l, grads = jax.value_and_grad(loss_fn)(w, b)
-        updates, opt_state = opt.update(grads, opt_state)
-        return (optax.apply_updates(w, updates), opt_state, key), l
-
+    # Dataset as jit ARGUMENT (not closure constant) — see train_superpoint.
     @jax.jit
-    def train_chunk(w, opt_state, key):
+    def train_chunk(w, opt_state, key, lg_ds, n_valid):
+        def one_step(carry, _):
+            w, opt_state, key = carry
+            key, ki = jax.random.split(key)
+            idx = jax.random.randint(
+                ki, (batch,), 0, jnp.maximum(n_valid, 1)
+            )
+            b = {k: v[idx] for k, v in lg_ds.items()}
+            l, grads = jax.value_and_grad(loss_fn)(w, b)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(w, updates), opt_state, key), l
+
         (w, opt_state, key), ls = jax.lax.scan(
             one_step, (w, opt_state, key), None, length=chunk_steps
         )
@@ -435,7 +440,7 @@ def train_lightglue(lg_ds, n_valid, steps, batch, seed, n_layers=3,
     chunk_steps = min(chunk_steps, max(steps, 1))
     n_chunks = max(steps // chunk_steps, 1)
     for c in range(n_chunks):
-        w, opt_state, key, ls = train_chunk(w, opt_state, key)
+        w, opt_state, key, ls = train_chunk(w, opt_state, key, lg_ds, n_valid)
         losses.append(ls)
         print(f"[lg] chunk {c + 1}/{n_chunks} dispatched", flush=True)
     w.update(meta)

@@ -104,3 +104,65 @@ def render_room(
     """Render an (H, W) float32 image of the room from a world->camera pose."""
     img, _, _ = render_room_hits(cam, rcw, pcw, half, floor_z)
     return img
+
+
+def render_street(
+    cam: Pinhole,
+    rcw: jnp.ndarray,
+    pcw: jnp.ndarray,
+    boxes: jnp.ndarray,  # (B, 5) rows (cx, cy, w, d, h) from synthetic.street_boxes
+    floor_z: float = -1.5,
+    ground_x: Tuple[float, float] = (-10.0, 50.0),
+    ground_y: Tuple[float, float] = (-12.0, 16.0),
+) -> jnp.ndarray:
+    """Render an (H, W) f32 frame of the street world (ground plane +
+    building AABBs, io/synthetic.street_surfaces): slab-method ray-AABB
+    over all boxes, nearest-hit occlusion, shaded by the same procedural
+    texture as the room renderer — photometrically consistent with the
+    street LiDAR samples for the full-stack LIVO + loop-closure drive.
+    Sky (no hit) renders as 0."""
+    uu, vv = jnp.meshgrid(
+        jnp.arange(cam.width, dtype=jnp.float32) + 0.5,
+        jnp.arange(cam.height, dtype=jnp.float32) + 0.5,
+        indexing="xy",
+    )
+    uv = jnp.stack([uu, vv], axis=-1).reshape(-1, 2)
+    f = cam.unproject(uv)
+    d = f @ rcw  # (P, 3) world directions
+    o = -rcw.T @ pcw
+    big = jnp.float32(1e9)
+    safe_d = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+
+    # Ground plane.
+    t_g = (floor_z - o[2]) / safe_d[:, 2]
+    pg = o[None, :] + t_g[:, None] * d
+    ok_g = (
+        (t_g > 1e-3)
+        & (pg[:, 0] >= ground_x[0]) & (pg[:, 0] <= ground_x[1])
+        & (pg[:, 1] >= ground_y[0]) & (pg[:, 1] <= ground_y[1])
+    )
+    t_ground = jnp.where(ok_g, t_g, big)
+
+    # Boxes (slab method).
+    c = boxes.astype(jnp.float32)
+    bmin = jnp.stack(
+        [c[:, 0] - c[:, 2] / 2, c[:, 1] - c[:, 3] / 2,
+         jnp.full_like(c[:, 0], floor_z)], axis=-1,
+    )  # (B, 3)
+    bmax = jnp.stack(
+        [c[:, 0] + c[:, 2] / 2, c[:, 1] + c[:, 3] / 2,
+         floor_z + c[:, 4]], axis=-1,
+    )
+    inv = 1.0 / safe_d  # (P, 3)
+    t1 = (bmin[None, :, :] - o[None, None, :]) * inv[:, None, :]  # (P, B, 3)
+    t2 = (bmax[None, :, :] - o[None, None, :]) * inv[:, None, :]
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)  # (P, B)
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 1e-3) & (t_near > 1e-3)
+    t_box = jnp.min(jnp.where(hit, t_near, big), axis=-1)  # (P,)
+
+    t = jnp.minimum(t_ground, t_box)
+    ok = t < big
+    p_hit = o[None, :] + t[:, None] * d
+    img = jnp.where(ok, texture(p_hit), 0.0)
+    return img.reshape(cam.height, cam.width).astype(jnp.float32)

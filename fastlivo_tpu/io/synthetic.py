@@ -297,6 +297,75 @@ def street_trajectory(
     return Trajectory(pos_fn=pos, yaw_fn=yaw)
 
 
+def circuit_trajectory(
+    straight: float = 14.0, radius: float = 3.0, speed: float = 2.0,
+    rest_time: float = 0.5,
+) -> Trajectory:
+    """Closed stadium circuit in the street world: straight +x at y=0,
+    half-circle up, straight -x at y=2*radius, half-circle back to the
+    start — returning to the origin with the SAME heading, so a revisit's
+    key cloud AND camera view both overlap the first pass (the loop case
+    where the visual verification gate can confirm, unlike an
+    out-and-back U-turn whose return views face the opposite way)."""
+    per = 2 * straight + 2 * np.pi * radius
+
+    def warp(t):
+        s = max(t - rest_time, 0.0)
+        return s * s / (s + 0.5)
+
+    def at(arc):
+        a = arc % per
+        if a < straight:
+            return np.array([a, 0.0, 0.0]), 0.0
+        a -= straight
+        if a < np.pi * radius:
+            th = a / radius
+            return (
+                np.array(
+                    [straight + radius * np.sin(th),
+                     radius * (1 - np.cos(th)), 0.0]
+                ),
+                th,
+            )
+        a -= np.pi * radius
+        if a < straight:
+            return np.array([straight - a, 2 * radius, 0.0]), np.pi
+        a -= straight
+        th = a / radius
+        return (
+            np.array(
+                [-radius * np.sin(th), radius * (1 + np.cos(th)), 0.0]
+            ),
+            np.pi + th,
+        )
+
+    def pos(t):
+        return at(speed * warp(t))[0]
+
+    def yaw(t):
+        # Unwrapped yaw: monotone with arc length (one full turn per lap).
+        arc = speed * warp(t)
+        laps = int(arc // per)
+        return at(arc)[1] + 2 * np.pi * laps
+
+    return Trajectory(pos_fn=pos, yaw_fn=yaw)
+
+
+def street_boxes(x_extent=40.0, layout_seed=123, n_b=8):
+    """The street's building layout as (cx, cy, w, d, h) rows (same draw
+    sequence street_surfaces always used, so existing scenes are
+    unchanged). AABB of row k: [cx - w/2, cx + w/2] x [cy - d/2, cy + d/2]
+    x [-1.5, h - 1.5]."""
+    rng2 = np.random.default_rng(layout_seed)
+    rows = []
+    for _ in range(n_b):
+        cx = rng2.uniform(0, x_extent)
+        cy = rng2.choice([-7.0, 11.0]) + rng2.uniform(-1, 1)
+        w, d, h = rng2.uniform(3, 6, 3)
+        rows.append((cx, cy, w, d, h))
+    return np.asarray(rows, np.float64)
+
+
 def street_surfaces(rng, n, x_extent=40.0, layout_seed=123):
     """Ground + buildings with dense corner edges lining a street."""
     pts = [
@@ -309,12 +378,9 @@ def street_surfaces(rng, n, x_extent=40.0, layout_seed=123):
             1,
         )
     ]
-    rng2 = np.random.default_rng(layout_seed)
-    n_b = 8
-    for k in range(n_b):
-        cx = rng2.uniform(0, x_extent)
-        cy = rng2.choice([-7.0, 11.0]) + rng2.uniform(-1, 1)
-        w, d, h = rng2.uniform(3, 6, 3)
+    boxes = street_boxes(x_extent, layout_seed)
+    n_b = len(boxes)
+    for cx, cy, w, d, h in boxes:
         per = n // (3 * n_b)
         for axis, val in ((0, -w / 2), (0, w / 2), (1, -d / 2), (1, d / 2)):
             u = rng.uniform(0, 1, (per, 2))
@@ -345,11 +411,16 @@ def generate_street(
     max_range: float = 30.0,
     gyro_bias: np.ndarray | None = None,
     imu_noise_gyr: float = 0.0,
+    camera=None,  # ops.camera.Pinhole -> also render frames (render_street)
+    cam_rate: float = 10.0,
+    cam_offset: float = 0.055,
+    rot_ic: np.ndarray | None = None,
+    trajectory: Trajectory | None = None,
 ) -> SyntheticSequence:
     """Out-and-back street sequence for loop-closure testing: scans are
     range-limited samples of a large structured world."""
     rng = np.random.default_rng(seed)
-    traj = street_trajectory()
+    traj = trajectory or street_trajectory()
     grav = np.array([0.0, 0.0, -GRAVITY_MS2])
 
     bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
@@ -374,7 +445,8 @@ def generate_street(
         near = np.linalg.norm(world[:, :2] - p_mid[:2], axis=1) < max_range
         world = world[near]
         if len(world) < pts_per_scan:
-            world = np.concatenate([world, world[: pts_per_scan - len(world)]])
+            reps = -(-pts_per_scan // max(len(world), 1)) + 1
+            world = np.tile(world, (reps, 1))[:pts_per_scan]
         world = world[rng.permutation(len(world))[:pts_per_scan]]
         body = np.empty_like(world)
         buckets = np.minimum((offs / period * 16).astype(int), 15)
@@ -397,6 +469,34 @@ def generate_street(
         gt_rot.append(r_e)
         gt_pos.append(p_e)
 
+    frames = None
+    if camera is not None:
+        import jax
+        import jax.numpy as jnp
+
+        from fastlivo_tpu.io.render import render_street
+
+        r_ic = R_IC_FORWARD if rot_ic is None else rot_ic
+        rot_ci = r_ic.T
+        boxes_j = jnp.asarray(street_boxes())
+        jrender = jax.jit(render_street, static_argnames="cam")
+        frames = []
+        t = cam_offset
+        while t < duration:
+            rot_wi, pos = traj.pose(t)
+            rcw = rot_ci @ rot_wi.T
+            pcw = -rcw @ pos
+            img = np.asarray(
+                jrender(
+                    camera,
+                    jnp.asarray(rcw, jnp.float32),
+                    jnp.asarray(pcw, jnp.float32),
+                    boxes_j,
+                )
+            )
+            frames.append(ImageFrame(stamp=float(t), img=img))
+            t += 1.0 / cam_rate
+
     return SyntheticSequence(
         imu=imu,
         scans=scans,
@@ -404,6 +504,7 @@ def generate_street(
         gt_rot=np.asarray(gt_rot),
         gt_pos=np.asarray(gt_pos),
         world=street_surfaces(rng, 60000),
+        frames=frames,
     )
 
 

@@ -23,7 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 # test processes/reruns (keyed on HLO + flags, so code changes re-compile).
 jax.config.update("jax_compilation_cache_dir", "/tmp/fastlivo_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOT "all": the XLA-internal kernel caches store AOT machine code
+# targeted at the COMPILE machine's CPU features; in this environment the
+# remote-compile service can differ from the host (observed: avx512-full
+# compile machine, leaner host), and loading such an entry SIGILLs the
+# test process (segfault in test_sharded, round 5). The top-level
+# executable cache alone keeps recompiles cheap and is rebuilt per host.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

