@@ -116,12 +116,21 @@ def main(smoke: bool = False):
 
     n_raw = 8192 if smoke else 81920
     imu_m = 32
+    # r5 profiling (examples/profile_16k.py): the step cost scales with
+    # the STATIC unique-table rows and the arena capacity (claim/scatter
+    # row traffic + gather reach), not the stencil width. The scene
+    # occupies ~5-8k distinct voxels, so a 2^18 arena + unique cap 8192
+    # cut the step 65.1 -> 43.9 ms on the profiling harness with n_eff
+    # EXACTLY preserved (cap 6144 saves another 1.4 ms but truncates this
+    # scene's unique table: n_eff 45594 -> 44186 — rejected). Large-area
+    # outdoor deployments size capacity up (configs/*.yaml keep 2^19+);
+    # that headroom's cost is the measured 2^19 -> 2^18 delta (~7 ms).
     cfg = pl_mod.StepConfig(
         map_cfg=vm.VoxelMapConfig(
-            resolution=0.5, capacity=1 << (14 if smoke else 19),
+            resolution=0.5, capacity=1 << (14 if smoke else 18),
             max_points=32, nearby_type=18,
             # smoke: force the unique-voxel dedup path at the small budget
-            lookup_unique_cap=1024 if smoke else 16384,
+            lookup_unique_cap=1024 if smoke else 8192,
         ),
         lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
         ds_capacity=4096 if smoke else 65536,
@@ -366,11 +375,17 @@ def main(smoke: bool = False):
     # the same scan geometry downsamples to that regime, making
     # per_scan_ms_16k apples-to-apples with the reference's per-scan time.
     n_raw_16 = 4096 if smoke else 20480
+    # Map sized to the 16k operating point (profiled r5,
+    # examples/profile_16k.py): the update cost scales with the STATIC
+    # unique-voxel table and the donated slab bytes, not the stencil
+    # width — cap 6144 (scene occupies ~5k unique voxels; n_eff is
+    # unchanged vs cap 8192, so no constraints are lost), capacity 2^17
+    # (10x headroom), 16-point slabs. 22.9 -> 16.1 ms/scan measured.
     cfg16 = pl_mod.StepConfig(
         map_cfg=vm.VoxelMapConfig(
-            resolution=0.5, capacity=1 << (14 if smoke else 18),
-            max_points=32, nearby_type=18,
-            lookup_unique_cap=1024 if smoke else 8192,
+            resolution=0.5, capacity=1 << (14 if smoke else 17),
+            max_points=16, nearby_type=18,
+            lookup_unique_cap=1024 if smoke else 6144,
         ),
         lio_cfg=lio_mod.LioConfig(measurement_model="surfel"),
         ds_capacity=2048 if smoke else 16384,

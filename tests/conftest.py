@@ -18,18 +18,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the SPMD pipeline programs take tens of
-# seconds to compile on an 8-virtual-device CPU mesh; cache them across
-# test processes/reruns (keyed on HLO + flags, so code changes re-compile).
-jax.config.update("jax_compilation_cache_dir", "/tmp/fastlivo_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-# NOT "all": the XLA-internal kernel caches store AOT machine code
-# targeted at the COMPILE machine's CPU features; in this environment the
-# remote-compile service can differ from the host (observed: avx512-full
-# compile machine, leaner host), and loading such an entry SIGILLs the
-# test process (segfault in test_sharded, round 5). The top-level
-# executable cache alone keeps recompiles cheap and is rebuilt per host.
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+# NO persistent compilation cache for the suite (round-5 regression hunt):
+# on this jaxlib, executable (de)serialization for the on-disk cache is
+# unstable once a long-lived full-suite process has ~100 tests of compiled
+# state behind it — reproduced four times at the first big compile past
+# the 45% mark, as (a) a SIGILL loading kernel-AOT entries whose
+# "+prefer-no-scatter" pseudo-features fail host validation (cache mode
+# "all"), (b) segfault/abort inside put_executable_and_time (mode
+# "none"), and (c) once inside backend_compile_and_load itself. Every
+# crashing test passes in isolation under either cache mode. Cold
+# compiles cost the suite a few minutes; a crashed suite costs the round.
+# The FLAG (not just the dir) must be off: run.py's run_log sets a cache
+# dir when none is configured, which would re-arm the cache mid-suite for
+# every later compile (that was crash #5, at test_vio after
+# test_pipeline_sharded ran run_log).
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -38,3 +41,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Round-5 stability: with ~100 tests of compiled executables live in one
+# process, the NEXT large XLA:CPU compile segfaults (reproduced 6x on this
+# host at whichever test compiles first past that point — in
+# backend_compile_and_load and in cache (de)serialization; every victim
+# passes in isolation). Dropping the accumulated executables between test
+# modules keeps the compiler's live-state under the crash threshold. Costs
+# recompiles of shared small programs (~1 min over the suite), saves the
+# suite.
+_last_module = [None]
+
+
+def pytest_runtest_setup(item):
+    mod = item.module.__name__
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod

@@ -1,6 +1,8 @@
 """Multi-device SPMD LIO step vs the single-device program: same physics,
 innovations reduced by psum — results must agree to f32 reduction tolerance."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -391,32 +393,41 @@ def test_sharded_map_memory_is_partitioned():
     assert per.min() > 0.5 * per.mean()
 
 
-@pytest.fixture
-def no_persistent_cache():
-    """Serializing THIS test's 2-D-mesh executable for the persistent
-    cache segfaults deep in jaxlib when it compiles late in a long-lived
-    full-suite process (reproduced twice at the same line, round 5; the
-    test passes in isolation under either cache mode). Skip the cache for
-    it — one ~45 s compile is cheaper than a crashed suite."""
-    import jax
-    from jax._src import compilation_cache as cc
+def test_2d_mesh_hosts_x_chips_matches_single_device():
+    """Subprocess wrapper: XLA:CPU SEGFAULTS while compiling the 2-D-mesh
+    sharded step when the compile happens late in a long-lived full-suite
+    process (reproduced 3x round 5 — in backend_compile_and_load, in the
+    cache write, and in the cache read — under every persistent-cache
+    mode), yet the identical test passes in isolation every time. Run the
+    real test body in a fresh interpreter so the full suite stays green;
+    the in-process env var is the recursion guard."""
+    import subprocess
+    import sys
 
-    jax.config.update("jax_enable_compilation_cache", False)
-    # The enabled/disabled decision is LATCHED once per process
-    # (compilation_cache.is_cache_used caches _cache_checked); reset it so
-    # the flag flip actually takes effect mid-suite.
-    cc.reset_cache()
-    try:
-        yield
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)
-        cc.reset_cache()
+    if os.environ.get("FASTLIVO_2D_MESH_INPROC"):
+        pytest.skip("inner process runs _2d_mesh_case directly")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+            __file__ + "::test_2d_mesh_case_inner",
+        ],
+        env=dict(os.environ, FASTLIVO_2D_MESH_INPROC="1"),
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1000:])
 
 
-def test_2d_mesh_hosts_x_chips_matches_single_device(rng, no_persistent_cache):
+@pytest.mark.skipif(
+    not os.environ.get("FASTLIVO_2D_MESH_INPROC"),
+    reason="runs inside the subprocess wrapper above",
+)
+def test_2d_mesh_case_inner():
     """2-D (hosts x chips) mesh: map sharded over the inner (ICI) axis,
     queries/innovation sharded over the outer (DCN) axis — the multi-host
     composition. Must agree with a single-device run like the 1-D modes."""
+    rng = np.random.default_rng(42)
     from fastlivo_tpu.models import lio as lio_mod
 
     local_cap = 1 << 12
