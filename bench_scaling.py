@@ -210,6 +210,10 @@ def main():
             "N-virtual-device CPU mesh sharing one socket: a lower-bound "
             "sanity check of the work partitioning, not an ICI measurement"
         ),
+        # Interpretation depends on oversubscription: 8 virtual devices on
+        # a 2-core host time-slice 4x (round-5 host), on a 16-core host
+        # they don't (round-4 judge run: 0.85@8 points axis).
+        "host_cpus": os.cpu_count(),
         "points_sharded": points,
         "map_sharded": maps,
     }
