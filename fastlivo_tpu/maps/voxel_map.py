@@ -112,7 +112,10 @@ class VoxelHashMap(NamedTuple):
       counts: (C,) int32 — valid points in each voxel slab
       slab: (C, max_points * 3) f32 — point slabs, wide rows
       slab_stamps: (C * max_points,) int32 — insert epoch PER POINT slot
-      surf_s2: (C, 3, 3) f32 — running sum of outer products (voxel-local)
+      surf_s2: (C, 6) f32 — running outer-product sum (voxel-local),
+            SYMMETRIC-6 storage [xx, yy, zz, xy, xz, yz]: 24 B/slot
+            instead of 36 (r5 memory diet, exact same numerics — the
+            redundant lower triangle was never information)
       epoch: () int32
 
     Compatibility views (`keys`, `occupied`, `stamps`, `surf_n`,
@@ -125,7 +128,7 @@ class VoxelHashMap(NamedTuple):
     counts: jnp.ndarray  # (C,) int32
     slab: jnp.ndarray  # (C, S * 3) f32
     slab_stamps: jnp.ndarray  # (C * S,) int32
-    surf_s2: jnp.ndarray  # (C, 3, 3) f32
+    surf_s2: jnp.ndarray  # (C, 6) f32 symmetric [xx, yy, zz, xy, xz, yz]
     epoch: jnp.ndarray  # () int32
 
     # --- compatibility / cold-path views -------------------------------
@@ -174,7 +177,7 @@ def make_map(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelHashMap:
         counts=jnp.zeros((c,), dtype=jnp.int32),
         slab=jnp.zeros((c, s * 3), dtype=dtype),
         slab_stamps=jnp.zeros((c * s,), dtype=jnp.int32),
-        surf_s2=jnp.zeros((c, 3, 3), dtype=dtype),
+        surf_s2=jnp.zeros((c, 6), dtype=dtype),
         epoch=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -191,6 +194,21 @@ def voxel_corner(vox: jnp.ndarray, resolution: float, dtype=jnp.float32) -> jnp.
     anchor for surfel moments: writers subtract it, readers add it back —
     keep the two sides paired through THIS helper)."""
     return vox.astype(dtype) * resolution
+
+
+# Symmetric-6 moment storage: order [xx, yy, zz, xy, xz, yz].
+_SYM6_EXPAND = (0, 3, 4, 3, 1, 5, 4, 5, 2)  # row-major 3x3 lane sources
+
+
+def _sym6_of(p: jnp.ndarray) -> jnp.ndarray:
+    """Outer product p p^T of (..., 3) vectors, packed as (..., 6)."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
+
+
+def _mat33_of_sym6(s: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) symmetric-6 -> (..., 3, 3)."""
+    return s[..., jnp.asarray(_SYM6_EXPAND)].reshape(*s.shape[:-1], 3, 3)
 
 
 def _hash(vox: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
@@ -550,13 +568,13 @@ def insert(
     )[:u]
     d_s1 = jax.ops.segment_sum(pts_l, seg_c, num_segments=u + 1)[:u]
     d_s2 = jax.ops.segment_sum(
-        pts_l[:, :, None] * pts_l[:, None, :], seg_c, num_segments=u + 1
+        _sym6_of(pts_l), seg_c, num_segments=u + 1
     )[:u]
 
     n_old = jnp.where(fresh_u, 0.0, pr2.n)
     s1_old = jnp.where(fresh_u[:, None], 0.0, pr2.s1)
     s2_old = jnp.where(
-        fresh_u[:, None, None],
+        fresh_u[:, None],
         0.0,
         m.surf_s2[jnp.minimum(slot_u, c - 1)],
     )
@@ -571,7 +589,7 @@ def insert(
         touched[:, None], g * s1_old + f[:, None] * d_s1, s1_old
     )
     s2_new = jnp.where(
-        touched[:, None, None], g * s2_old + f[:, None, None] * d_s2, s2_old
+        touched[:, None], g * s2_old + f[:, None] * d_s2, s2_old
     )
 
     # ONE packed-row scatter refreshes stamp (LRU touch) + n + s1 for every
@@ -868,7 +886,7 @@ def _plane_from_win(
     gather per query)."""
     dtype = m.meta.dtype
     cnt = jnp.maximum(win.n, 1.0)
-    s2 = m.surf_s2[win.slot]
+    s2 = _mat33_of_sym6(m.surf_s2[win.slot])
     cov = s2 / cnt[:, None, None] - win.mean_l[:, :, None] * win.mean_l[:, None, :]
     cov = cov + jnp.eye(3, dtype=dtype) * 1e-9
     # Analytic 3x3 eigendecomposition (ops.linalg.eigh3_smallest):

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCHEMA_VERSION = 5
+SCHEMA_VERSION = 6  # v6: surf_s2 stored symmetric-6 (C, 6), was (C, 3, 3)
 
 
 def _flatten(prefix: str, tree) -> Dict[str, np.ndarray]:
